@@ -1,0 +1,57 @@
+"""Crawl job configuration.
+
+Reference analog: live JSON config (/root/reference/config.py:7-30 and
+Worker config, /root/reference/Worker/main.py:10-16) — `max-retry`,
+`delay-target`, `stage-size`, batch counts. Here it is a static
+dataclass shipped with the job (spark-submit --py-files), never fetched
+at runtime.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    seed: int = 42
+    date_str: str = "20260816"  # key prefix, reference Coordinator/main.py:28-31
+    n_urls: int = 10_000
+    n_hosts: int = 50
+    zipf_a: float = 1.3  # host popularity skew (hot hosts exercise salting)
+    n_buckets: int = 32  # frontier bucketing: hash(canonical_host) % n_buckets
+
+    # Politeness / scheduling (north_rule: budgets drive a window-function
+    # priority queue; reference analog Worker/main.py:51-68 pacing).
+    default_budget_per_host: int = 64  # max fetches per host per epoch
+    hot_host_threshold: int = 512  # candidate count above which a host is salted
+    n_salt: int = 8
+
+    # Retry / forfeit (reference config.py:20 LIMIT_RETRY + Coordinator
+    # main.py:21-23 forfeit rule).
+    max_retry: int = 3
+    fail_pct: int = 10  # deterministic synthetic failure rate, percent
+
+    max_epochs: int = 64
+
+    # Robots: hosts whose path prefix is disallowed are excluded at
+    # frontier build (north_rule robots budget).
+    robots_disallow: tuple[str, ...] = ("/private/",)
+
+    extra: dict = field(default_factory=dict, compare=False)
+
+    @property
+    def shuffle_salt(self) -> str:
+        return f"shuffle-{self.seed}"
+
+
+def fail_roll(key: str, attempt: int, cfg: CrawlConfig) -> bool:
+    """Deterministic synthetic fetch failure: True = this attempt errors.
+
+    Pure function of (key, attempt, seed) so the Spark engine and the
+    pure-Python simulator agree exactly. Replaces the reference's real
+    network failures (Worker/node_handler.js timeout → `_ERR.pp`).
+    """
+    from .hashing import xxh64_str
+
+    return xxh64_str(f"fail:{key}:{attempt}:{cfg.seed}") % 100 < cfg.fail_pct

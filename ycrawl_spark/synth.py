@@ -1,0 +1,128 @@
+"""Deterministic synthetic fixtures: image+caption table and URL frontier.
+
+Single source of truth for row derivation — both the Spark engine
+(via distributed mapInPandas over ``spark.range``) and the pure-Python
+reference-semantics simulator (sim/reference_sim.py) call the same
+pure functions, so crawl-order / seen-set equivalence is meaningful.
+
+Reference analogs:
+  - frontier rows {key, url} from config cross-products,
+    /root/reference/Coordinator/main.py:34-61;
+  - sequence key "{date}_{H}{n:04d}", Coordinator/main.py:28-31;
+  - fetched payload envelope, Worker/node_handler.js:14-19.
+
+The 10^10-URL frontier is only ever *virtual*: ``spark.range(n)`` plus
+these generators — ids are never materialized driver-side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from . import codecs
+from .config import CrawlConfig
+from .hashing import xxh64_str
+
+BASE_TS = 1_750_000_000  # fixed epoch base for discovered_ts (no wall clock)
+
+FRONTIER_SCHEMA = (
+    "key string, url string, canonical_host string, host_bucket int, "
+    "priority int, depth int, discovered_ts timestamp, image_id string, "
+    "epoch_added int, robots_ok boolean"
+)
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def image_id_for(i: int) -> str:
+    return f"img_{i:08d}"
+
+
+def host_index(image_id: str, cfg: CrawlConfig) -> int:
+    """Zipf-ish skewed host assignment: u^a concentrates mass near host 0."""
+    u = xxh64_str(f"host:{image_id}:{cfg.seed}") / float(1 << 64)
+    return min(cfg.n_hosts - 1, int(cfg.n_hosts * (u**cfg.zipf_a)))
+
+
+def frontier_row(i: int, cfg: CrawlConfig) -> dict:
+    """Pure derivation of frontier row ``i`` — shared engine/simulator."""
+    image_id = image_id_for(i)
+    hidx = host_index(image_id, cfg)
+    host = f"host{hidx:03d}.example.com"
+    private = xxh64_str(f"path:{image_id}:{cfg.seed}") % 20 == 0
+    path = "/private/" if private else "/img/"
+    url = f"https://{host}{path}{image_id}"
+    robots_ok = not any(path.startswith(d) for d in cfg.robots_disallow)
+    h = xxh64_str(f"sched:{image_id}:{cfg.seed}")
+    return {
+        "key": f"{cfg.date_str}_H{i + 1:04d}",  # exact reference key format
+        "url": url,
+        "canonical_host": host,
+        "host_bucket": hidx % cfg.n_buckets,
+        "priority": int(h % 4),
+        "depth": int((h >> 8) % 5),
+        "discovered_ts": pd.Timestamp(BASE_TS + i, unit="s"),
+        "image_id": image_id,
+        "epoch_added": 0,
+        "robots_ok": robots_ok,
+    }
+
+
+def frontier_pdf(cfg: CrawlConfig, start: int = 0, stop: int | None = None) -> pd.DataFrame:
+    stop = cfg.n_urls if stop is None else stop
+    return pd.DataFrame([frontier_row(i, cfg) for i in range(start, stop)])
+
+
+def frontier_df(spark, cfg: CrawlConfig):
+    """Distributed frontier build: range → mapInPandas (no driver rows)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame([frontier_row(int(i), cfg) for i in b["id"]])
+
+    n_parts = max(8, cfg.n_urls // 50_000)
+    return (
+        spark.range(0, cfg.n_urls, numPartitions=n_parts)
+        .mapInPandas(gen, schema=FRONTIER_SCHEMA)
+    )
+
+
+def images_pdf(cfg: CrawlConfig, start: int = 0, stop: int | None = None) -> pd.DataFrame:
+    stop = cfg.n_urls if stop is None else stop
+    return pd.DataFrame([codecs.make_image_row(image_id_for(i)) for i in range(start, stop)])
+
+
+def images_df(spark, cfg: CrawlConfig):
+    """Distributed image-table build with the exact input_hint schema."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame([codecs.make_image_row(image_id_for(int(i))) for i in b["id"]])
+
+    n_parts = max(8, cfg.n_urls // 10_000)
+    return (
+        spark.range(0, cfg.n_urls, numPartitions=n_parts)
+        .mapInPandas(gen, schema=IMAGES_SCHEMA)
+    )
+
+
+def politeness_pdf(cfg: CrawlConfig) -> pd.DataFrame:
+    """Per-host budgets (FIXTURES.md §5). Deterministic mild variation."""
+    rows = []
+    for hidx in range(cfg.n_hosts):
+        host = f"host{hidx:03d}.example.com"
+        bump = xxh64_str(f"budget:{host}:{cfg.seed}") % 3  # 0..2 extra slots
+        rows.append(
+            {
+                "canonical_host": host,
+                "max_per_epoch": cfg.default_budget_per_host + int(bump),
+                "delay_target": 0.0,
+                "robots_disallow": list(cfg.robots_disallow),
+            }
+        )
+    return pd.DataFrame(rows)
