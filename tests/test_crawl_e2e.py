@@ -1,0 +1,77 @@
+"""End-to-end crawl equivalence vs the pure-Python reference simulator
+(SURVEY.md §5.2): crawl order + URL-seen set must match EXACTLY, plus
+resume determinism and per-row payload invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sim.reference_sim import simulate
+from ycrawl_spark.catalog import Catalog
+from ycrawl_spark.config import CrawlConfig
+from ycrawl_spark.pipeline import crawl_order, run_crawl, seen_sets
+
+CFG = CrawlConfig(
+    n_urls=800,
+    n_hosts=12,
+    default_budget_per_host=16,
+    hot_host_threshold=60,
+    n_salt=4,
+    max_retry=2,
+    fail_pct=15,
+    max_epochs=40,
+)
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("crawl"))
+    stats = run_crawl(spark, CFG, wd, use_bloom=True)
+    return wd, stats
+
+
+def test_crawl_order_and_seen_set_match_simulator(spark, crawl_run):
+    wd, stats = crawl_run
+    sim = simulate(CFG)
+    assert crawl_order(spark, wd) == sim.order
+    done, forfeit = seen_sets(spark, wd, CFG)
+    assert done == sim.done
+    assert forfeit == sim.forfeit
+    # per-epoch counters match too
+    engine_epochs = [(s.epoch, s.n_selected, s.n_ok, s.n_err)
+                     for s in stats if s.n_selected > 0]
+    sim_epochs = [(e["epoch"], e["selected"], e["ok"], e["err"])
+                  for e in sim.per_epoch]
+    assert engine_epochs == sim_epochs
+
+
+def test_payload_invariants(spark, crawl_run):
+    wd, _ = crawl_run
+    parsed = Catalog(wd).table("parsed").read(spark)
+    n = parsed.count()
+    assert n > 0
+    assert parsed.filter(~F.col("valid")).count() == 0
+    assert parsed.filter((F.col("fmt") == "lossy") & (F.col("psnr") < 40.0)).count() == 0
+    # every fetched-ok key parsed exactly once per (key, epoch)
+    assert parsed.groupBy("key", "epoch").count().filter("count > 1").count() == 0
+
+
+def test_resume_determinism(spark, tmp_path_factory, crawl_run):
+    wd_full, _ = crawl_run
+    wd = str(tmp_path_factory.mktemp("crawl_resume"))
+    # run only 2 epochs, then resume to completion
+    partial_cfg = CrawlConfig(**{**CFG.__dict__, "max_epochs": 2})
+    run_crawl(spark, partial_cfg, wd, use_bloom=True)
+    run_crawl(spark, CFG, wd, use_bloom=True, resume=True)
+    assert crawl_order(spark, wd) == crawl_order(spark, wd_full)
+    assert seen_sets(spark, wd, CFG) == seen_sets(spark, wd_full, CFG)
+
+
+def test_exact_vs_bloom_path_identical(spark, tmp_path_factory):
+    small = CrawlConfig(**{**CFG.__dict__, "n_urls": 300, "max_epochs": 30})
+    wd1 = str(tmp_path_factory.mktemp("c_exact"))
+    wd2 = str(tmp_path_factory.mktemp("c_bloom"))
+    run_crawl(spark, small, wd1, use_bloom=False)
+    run_crawl(spark, small, wd2, use_bloom=True)
+    assert crawl_order(spark, wd1) == crawl_order(spark, wd2)

@@ -1,0 +1,105 @@
+"""Manifest-backed table facade with Iceberg-style semantics.
+
+No Iceberg runtime jar ships in this container, so this thin facade
+provides the same *semantics* over partitioned parquet + a JSON
+manifest: atomic append commits, snapshot ids, time travel by
+snapshot, and partition layout. On a real cluster the same call sites
+swap to ``df.writeTo(name).append()`` — the pipeline only uses this
+narrow API.
+
+Reference analog for the manifest: the crawl's completion checkpoint
+``0_meta_on_completion.json`` (/root/reference/Frontend/functions.py:17-35),
+generalized to per-commit snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: str
+    sequence: int
+    epoch: int | None
+    files: list[str]
+    meta: dict
+
+
+class Table:
+    def __init__(self, base: str, name: str):
+        self.path = os.path.join(base, name)
+        self.name = name
+        os.makedirs(self.path, exist_ok=True)
+
+    @property
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "manifest.json")
+
+    def snapshots(self) -> list[Snapshot]:
+        if not os.path.exists(self._manifest):
+            return []
+        with open(self._manifest) as f:
+            return [Snapshot(**s) for s in json.load(f)]
+
+    def _commit(self, snaps: list[Snapshot]) -> None:
+        tmp = self._manifest + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump([s.__dict__ for s in snaps], f)
+        os.replace(tmp, self._manifest)  # atomic on POSIX
+
+    def append(self, df: DataFrame, epoch: int | None = None,
+               meta: dict | None = None, partition_by: list[str] | None = None) -> str:
+        """Write df as a new snapshot; commit = atomic manifest swap."""
+        snap_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self.path, "data", snap_id)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        snaps = self.snapshots()
+        snaps.append(
+            Snapshot(
+                snapshot_id=snap_id,
+                sequence=len(snaps),
+                epoch=epoch,
+                files=[data_dir],
+                meta=meta or {},
+            )
+        )
+        self._commit(snaps)
+        return snap_id
+
+    def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
+        """Union of all snapshot data up to ``as_of`` (time travel)."""
+        snaps = self.snapshots()
+        if as_of is not None:
+            cut = next(i for i, s in enumerate(snaps) if s.snapshot_id == as_of)
+            snaps = snaps[: cut + 1]
+        paths = [p for s in snaps for p in s.files]
+        if not paths:
+            return None
+        return spark.read.option("basePath", self.path).parquet(*paths)
+
+    def latest_epoch(self) -> int | None:
+        epochs = [s.epoch for s in self.snapshots() if s.epoch is not None]
+        return max(epochs) if epochs else None
+
+    def truncate(self) -> None:
+        self._commit([])
+
+
+class Catalog:
+    """Namespace of tables under one base path (the crawl workdir)."""
+
+    def __init__(self, base: str):
+        self.base = base
+        os.makedirs(base, exist_ok=True)
+
+    def table(self, name: str) -> Table:
+        return Table(self.base, name)

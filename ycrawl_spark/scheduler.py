@@ -1,0 +1,141 @@
+"""Politeness / priority scheduling as window functions.
+
+Reference analog: the worker dispatches serially with randomized
+sleeps (`/root/reference/Worker/main.py:51-68`) and the coordinator
+shards work by ``int(key[-4:]) % total_batches``
+(`/root/reference/Coordinator/main.py:74-75`). The engine replaces
+wall-clock pacing with a *per-host per-epoch budget*: at most
+``max_per_epoch`` URLs per canonical host are selected each epoch,
+chosen by (priority, depth, discovered_ts, key) — the north_rule
+priority queue expressed as ``row_number`` over host partitions.
+
+Skew: a few Zipf-hot hosts would put an entire host's candidates in
+one window partition. We run a *semantics-preserving two-phase top-K*:
+phase 1 computes row_number within (host, salt) — salt only for hosts
+whose candidate count exceeds ``hot_host_threshold`` — and keeps the
+per-salt top-B superset; phase 2 re-ranks the (now ≤ B·n_salt per
+host) survivors within plain host partitions. The selected set is
+identical to a single global window, but no task ever sorts more than
+B·n_salt rows of a hot host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .config import CrawlConfig
+
+ORDER_COLS = ("priority", "depth", "discovered_ts", "key")
+
+
+def _order():
+    return [F.col(c).asc() for c in ORDER_COLS]
+
+
+def select_per_host_budget(candidates: DataFrame, politeness: DataFrame,
+                           cfg: CrawlConfig) -> DataFrame:
+    """Top-``max_per_epoch`` candidates per host this epoch.
+
+    ``politeness``: (canonical_host, max_per_epoch, ...) small dim →
+    broadcast join. Returns candidates + ``host_rank`` (1-based).
+    """
+    withb = candidates.join(
+        F.broadcast(politeness.select("canonical_host", "max_per_epoch")),
+        "canonical_host",
+        "left",
+    ).withColumn(
+        "max_per_epoch",
+        F.coalesce(F.col("max_per_epoch"), F.lit(cfg.default_budget_per_host)),
+    )
+
+    # Hot-host detection (explicit salting of hot hosts, north_rule).
+    counts = withb.groupBy("canonical_host").agg(F.count("*").alias("_host_n"))
+    hot = counts.filter(F.col("_host_n") > cfg.hot_host_threshold).select(
+        "canonical_host", F.lit(True).alias("_hot")
+    )
+    salted = withb.join(F.broadcast(hot), "canonical_host", "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.pmod(F.xxhash64(F.col("key"), F.lit("salt")), F.lit(cfg.n_salt)),
+        ).otherwise(F.lit(0)),
+    )
+
+    # Phase 1: local prune within (host, salt) — keeps a superset of the
+    # true per-host top-B, bounded at B rows per salt group.
+    w1 = W.partitionBy("canonical_host", "_salt").orderBy(*_order())
+    pruned = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("max_per_epoch"))
+        .drop("_r1", "_hot")
+    )
+
+    # Phase 2: exact per-host rank over the pruned set.
+    w2 = W.partitionBy("canonical_host").orderBy(*_order())
+    return (
+        pruned.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= F.col("max_per_epoch"))
+        .drop("_salt", "max_per_epoch")
+    )
+
+
+def crawl_shuffle_order(selected: DataFrame, cfg: CrawlConfig, epoch: int) -> DataFrame:
+    """Assign the epoch fetch order.
+
+    The reference does ``random.shuffle`` (Coordinator/main.py:58-59) to
+    mix vendors; we define the engine semantics as seeded-hash order —
+    deterministic, reproducible by the simulator, still host-mixing.
+    Adds ``shuffle_rank``; the epoch crawl order IS
+    ``ORDER BY shuffle_rank, key`` — no global row_number (which would
+    funnel the epoch through one task) is materialized in the hot path.
+    """
+    suffix = f":{cfg.shuffle_salt}:{epoch}"
+    return selected.withColumn(
+        "shuffle_rank", F.xxhash64(F.concat(F.col("key"), F.lit(suffix)))
+    )
+
+
+def with_global_pos(df: DataFrame, order_cols: list[str], out_col: str = "pos") -> DataFrame:
+    """Dense 0-based global position under ``order_cols`` — scalable.
+
+    Range-partition by the order, rank locally per partition, then add
+    per-partition offsets (count-prefix-sum over the tiny pid dim).
+    Equivalent to a global-window row_number without the single-task
+    sort bottleneck.
+    """
+    cols = [F.col(c) for c in order_cols]
+    sorted_df = df.repartitionByRange(*cols).sortWithinPartitions(*cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    wl = W.partitionBy("_pid").orderBy(*cols)
+    local = sorted_df.withColumn("_lr", F.row_number().over(wl))
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lr") - 1).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
+def batch_mod_filter(df: DataFrame, batch: int, total_batches: int,
+                     key_col: str = "key") -> DataFrame:
+    """Reference worker sharding: ``int(key[-4:]) % total == batch``
+    (Coordinator/main.py:74-75) — kept for parity queries; engine-wide
+    sharding is host-bucket based instead."""
+    return df.filter(
+        F.pmod(F.substring(F.col(key_col), -4, 4).cast("int"), F.lit(total_batches))
+        == F.lit(batch)
+    )

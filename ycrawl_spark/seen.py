@@ -1,0 +1,188 @@
+"""URL-seen membership: partitioned Bloom filter + exact anti-join.
+
+Reference analog: the coordinator lists today's GCS blobs and splits
+them into completed / error / forfeit name lists, then does O(n·m)
+python list membership (`/root/reference/Coordinator/main.py:8-25,68`).
+
+Engine design (north_rule): the seen set is a DataFrame; membership is
+  1. a Bloom pre-filter — per-bucket shards built by a grouped
+     applyInPandas aggregation, OR-merged and broadcast per epoch —
+     which passes *definitely-unseen* rows through with zero join, and
+  2. an exact ``left_anti`` join only for the maybe-hits (Bloom false
+     positives are re-checked; false negatives are impossible).
+
+A cuckoo filter (deletable fingerprints) is provided for the retry
+re-arm path where keys must leave the filter; at engine level we avoid
+deletions entirely by deriving the seen set from the append-only
+fetch_log, so the cuckoo variant is a tested fallback, not the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .hashing import bloom_positions, xxh64_str
+
+_HASH_SEED_A = 101
+_HASH_SEED_B = 202
+
+
+class Bloom:
+    """Fixed-size Bloom filter over strings; numpy bitset, mergeable."""
+
+    def __init__(self, m_bits: int, k: int, bits: np.ndarray | None = None):
+        assert m_bits % 64 == 0
+        self.m = m_bits
+        self.k = k
+        self.words = bits if bits is not None else np.zeros(m_bits // 64, dtype=np.uint64)
+
+    @classmethod
+    def sized_for(cls, n_items: int, fpp: float = 0.01) -> "Bloom":
+        n = max(n_items, 1)
+        m = int(-n * math.log(fpp) / (math.log(2) ** 2))
+        m = max(1024, 1 << (m - 1).bit_length())  # pow2, ≥1024
+        k = max(1, round(m / n * math.log(2)))
+        return cls(m, min(k, 16))
+
+    def _positions(self, keys) -> np.ndarray:
+        a = np.array([xxh64_str(s, _HASH_SEED_A) for s in keys], dtype=np.uint64)
+        b = np.array([xxh64_str(s, _HASH_SEED_B) | 1 for s in keys], dtype=np.uint64)
+        return bloom_positions(a, b, self.k, self.m)  # (k, n)
+
+    def add_many(self, keys) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.words, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64))
+
+    def contains_many(self, keys) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)  # (k, n)
+        hit = (self.words[pos >> 6] >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return hit.all(axis=0)
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        assert self.m == other.m and self.k == other.k
+        return Bloom(self.m, self.k, self.words | other.words)
+
+    def to_bytes(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def from_bytes(cls, m_bits: int, k: int, data: bytes) -> "Bloom":
+        return cls(m_bits, k, np.frombuffer(data, dtype=np.uint64).copy())
+
+
+def build_bloom(seen_keys: DataFrame, key_col: str, n_items_hint: int, n_shards: int = 32,
+                fpp: float = 0.01) -> Bloom:
+    """Distributed Bloom build: shard by key hash, per-shard grouped
+    aggregation produces one bits-row each, driver OR-merges (bytes are
+    small: shards of one filter, not one filter per shard)."""
+    proto = Bloom.sized_for(max(n_items_hint, 1), fpp)
+    m, k = proto.m, proto.k
+
+    def shard_agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        b = Bloom(m, k)
+        b.add_many(pdf[key_col].tolist())
+        return pd.DataFrame({"bits": [b.to_bytes()]})
+
+    shards = (
+        seen_keys.select(key_col)
+        .withColumn("_shard", F.pmod(F.xxhash64(key_col), F.lit(n_shards)))
+        .groupBy("_shard")
+        .applyInPandas(shard_agg, schema="bits binary")
+        .collect()
+    )
+    merged = Bloom(m, k)
+    for r in shards:
+        merged = merged.merge(Bloom.from_bytes(m, k, bytes(r["bits"])))
+    return merged
+
+
+def anti_join_unseen(candidates: DataFrame, seen: DataFrame, key_col: str = "key",
+                     bloom: Bloom | None = None, spark=None) -> DataFrame:
+    """``candidates`` whose key is NOT in ``seen`` — exact.
+
+    With a Bloom: definite-new rows bypass the join entirely; only
+    maybe-hits take the exact anti-join (reference anti-join:
+    Coordinator/main.py:68, list membership → here a real anti-join).
+    """
+    if bloom is None:
+        return candidates.join(seen.select(key_col), key_col, "left_anti")
+    bc = (spark or candidates.sparkSession).sparkContext.broadcast(
+        (bloom.m, bloom.k, bloom.to_bytes())
+    )
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(s: pd.Series) -> pd.Series:
+        m, k, raw = bc.value
+        b = Bloom.from_bytes(m, k, raw)
+        return pd.Series(b.contains_many(s.tolist()))
+
+    tagged = candidates.withColumn("_maybe", maybe_seen(F.col(key_col)))
+    definite_new = tagged.filter(~F.col("_maybe")).drop("_maybe")
+    rechecked = (
+        tagged.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .join(seen.select(key_col), key_col, "left_anti")
+    )
+    return definite_new.unionByName(rechecked)
+
+
+class Cuckoo:
+    """Minimal cuckoo filter (8-bit fingerprints, bucket size 4) with
+    delete support — fallback for seen-set deletions (retry re-arm).
+
+    Public algorithm: Fan et al., "Cuckoo Filter: Practically Better
+    Than Bloom" (CoNEXT 2014).
+    """
+
+    def __init__(self, n_buckets: int):
+        self.n = 1 << (max(n_buckets, 8) - 1).bit_length()
+        self.table = np.zeros((self.n, 4), dtype=np.uint8)  # 0 = empty
+
+    def _fp_and_index(self, key: str) -> tuple[int, int]:
+        h = xxh64_str(key, 303)
+        fp = (h & 0xFF) or 1
+        i1 = (h >> 8) % self.n
+        return fp, i1
+
+    def _alt(self, i: int, fp: int) -> int:
+        return (i ^ xxh64_str(chr(fp), 404)) % self.n
+
+    def insert(self, key: str, max_kicks: int = 500) -> bool:
+        fp, i = self._fp_and_index(key)
+        for idx in (i, self._alt(i, fp)):
+            empty = np.flatnonzero(self.table[idx] == 0)
+            if empty.size:
+                self.table[idx, empty[0]] = fp
+                return True
+        # evict deterministically (slot 0) and re-place
+        idx = i
+        for kick in range(max_kicks):
+            slot = kick % 4
+            fp, self.table[idx, slot] = int(self.table[idx, slot]), fp
+            idx = self._alt(idx, fp)
+            empty = np.flatnonzero(self.table[idx] == 0)
+            if empty.size:
+                self.table[idx, empty[0]] = fp
+                return True
+        return False
+
+    def contains(self, key: str) -> bool:
+        fp, i = self._fp_and_index(key)
+        return bool((self.table[i] == fp).any() or (self.table[self._alt(i, fp)] == fp).any())
+
+    def delete(self, key: str) -> bool:
+        fp, i = self._fp_and_index(key)
+        for idx in (i, self._alt(i, fp)):
+            hits = np.flatnonzero(self.table[idx] == fp)
+            if hits.size:
+                self.table[idx, hits[0]] = 0
+                return True
+        return False
