@@ -1,0 +1,295 @@
+"""Text analysis + deduplication operators for large-scale training-data
+pipelines, JVM-side where possible (higher-order functions on token
+arrays — no Python in the hot path), pandas UDFs only for bit-twiddly
+sketches (SimHash).
+
+These generalize the reference's parse/dedup surface: exact dedup ≙
+the coordinator's seen-set semantics (/root/reference/Coordinator/
+main.py:68 via dict.fromkeys at :23), fingerprinting ≙ its key
+projection (main.py:16-20); MinHash/SimHash/LSH are the scale path a
+10^10-document corpus needs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .hashing import xxh64_str
+
+STOPWORDS = ("the", "a", "data", "row", "key")
+
+LANG_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "qu": ("query", "table", "scan", "join"),
+    "op": ("sort", "merge", "filter", "window"),
+}
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + lexical-diversity quality signals — all built-in."""
+    t = with_tokens(df, text_col)
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_distinct"),
+        F.round(F.size(F.array_distinct("tokens")) / F.size("tokens"), 4).alias(
+            "distinct_ratio"
+        ),
+        F.round(
+            F.aggregate(
+                F.transform("tokens", lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("tokens"),
+            4,
+        ).alias("avg_tok_len"),
+    )
+
+
+def stopword_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality score: stopword density (low → keyword-stuffed junk)."""
+    t = with_tokens(df, text_col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return t.select(
+        "doc_id",
+        F.round(
+            F.size(F.filter("tokens", lambda x: F.array_contains(stop, x)))
+            / F.size("tokens"),
+            4,
+        ).alias("stop_ratio"),
+    )
+
+
+def langid_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-heuristic language ID: argmax of marker-token hit counts
+    (deterministic tie-break by language code)."""
+    t = with_tokens(df, text_col)
+
+    def marker_count(markers):
+        return F.size(F.filter("tokens", lambda x: x.isin(*markers)))
+
+    scores = [
+        marker_count(markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = t.select("doc_id", *scores)
+    # argmax via greatest + chained when (ties → first lang alphabetically)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        guess = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(guess)
+    return scored.select("doc_id", guess.alias("lang_guess"), best.alias("best_score"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint (content hash) — md5 for oracle parity."""
+    return df.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
+
+
+def exact_dedup_groups(df: DataFrame, n_prefix: int = 5, text_col: str = "text") -> DataFrame:
+    """Exact dedup on a normalized key (first-N-token prefix): one
+    group row per fingerprint with representative = min(doc_id).
+    Hash-groupBy — the map-side partial agg makes this shuffle-light."""
+    t = with_tokens(df, text_col)
+    pref = F.md5(F.array_join(F.slice("tokens", 1, n_prefix), " "))
+    return (
+        t.select(pref.alias("prefix_fp"), "doc_id")
+        .groupBy("prefix_fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def shingles_col(tokens_col: str = "tokens", k: int = 4):
+    """k-token shingles via higher-order functions (JVM-side)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({tokens_col}) - {k - 1}, 0)), "
+        f"i -> array_join(slice({tokens_col}, i, {k}), ' '))"
+    )
+
+
+def ngram_shared_pairs(df: DataFrame, k: int = 4, min_common: int = 1,
+                       text_col: str = "text") -> DataFrame:
+    """Near-dup candidates: doc pairs sharing ≥ min_common k-shingles.
+
+    Distributed as shingle-bucket self-join (explode → groupBy shingle
+    → pair within bucket), the classic scalable n-gram Jaccard
+    pre-filter; full Jaccard on candidates only.
+    """
+    sh = (
+        with_tokens(df, text_col)
+        .select("doc_id", F.explode(F.array_distinct(shingles_col("tokens", k))).alias("sh"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, k: int = 4,
+                  text_col: str = "text") -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs."""
+    sets_df = with_tokens(df, text_col).select(
+        "doc_id", F.array_distinct(shingles_col("tokens", k)).alias("sset")
+    )
+    j = (
+        pairs.join(sets_df.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sset", "set_a"), "doc_a")
+        .join(sets_df.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sset", "set_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size(F.array_union("set_a", "set_b"))
+    return j.select(
+        "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, n_perm: int = 16, k: int = 4,
+                       text_col: str = "text") -> DataFrame:
+    """MinHash signatures fully JVM-side: perm_i(x) = xxhash64(x||':pi'),
+    signature_i = min over shingles. No Python UDF at all."""
+    t = with_tokens(df, text_col).withColumn(
+        "sh", F.array_distinct(shingles_col("tokens", k))
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.expr(f"transform(sh, s -> xxhash64(concat(s, ':p{i}')))")
+            )
+            for i in range(n_perm)
+        ]
+    )
+    return t.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
+                           k: int = 4, text_col: str = "text") -> DataFrame:
+    """Banded LSH over MinHash signatures: same band hash → candidate
+    pair. shingle→minhash→band→bucket-join, all relational."""
+    rows_per_band = n_perm // bands
+    sigs = minhash_signatures(df, n_perm, k, text_col)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(",", *[
+                F.col("sig")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) as (band_id, band_hash)".format(
+            n=bands,
+            args=", ".join(f"{b}, band_{b}" for b in range(bands)),
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc — vectorized pandas UDF (bit-majority
+    voting is numpy territory, not SQL)."""
+
+    @F.pandas_udf("long")
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in txt.split(" "):
+                h = xxh64_str(tok)
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            val = np.uint64(0)
+            for bpos in np.flatnonzero(acc > 0):
+                val |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(val.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select("doc_id", simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 8,
+                      text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs via 4×16-bit block LSH (a pair within
+    hamming ≤ max can't differ in all 4 blocks when max < 4·…; the
+    block-match is the standard recall-friendly prefilter), then exact
+    hamming via bit_count."""
+    s = simhash(df, text_col)
+    blocks = s.select(
+        "doc_id",
+        "simhash",
+        *[
+            ((F.shiftrightunsigned(F.col("simhash"), 16 * i)) % 65536)
+            .cast("int").alias(f"blk_{i}")
+            for i in range(4)
+        ],
+    )
+    stacked = blocks.selectExpr(
+        "doc_id", "simhash",
+        "stack(4, 0, blk_0, 1, blk_1, 2, blk_2, 3, blk_3) as (blk_id, blk)"
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk_id") == F.col("b.blk_id"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sh_a") .bitwiseXOR(F.expr("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive document fingerprint: rolling hash-chain of
+    token hashes (JVM-side aggregate). Hash-of-(state||token) chaining
+    instead of polynomial mod-arithmetic — overflow-free under ANSI
+    mode and still order-sensitive."""
+    t = with_tokens(df, text_col)
+    return t.select(
+        "doc_id",
+        F.expr(
+            "aggregate(tokens, CAST(1125899906842597 AS LONG), "
+            "(acc, x) -> xxhash64(concat(cast(acc AS STRING), ':', x)))"
+        ).alias("roll_fp"),
+    )
