@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract, repo root).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus one crawl-
+pipeline throughput run (URLs fetched+validated/sec — the BASELINE.json
+north-star metric), then print ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls_per_sec": ..., "urls": ..., "sec": ...}}
+
+Modes:
+  --crawl-only --cores N   run just the crawl bench at local[N], print
+                           a small JSON line (used by --scaling).
+  --scaling                run the crawl bench at two parallelism
+                           levels (8 and 32 cores by default) in
+                           separate subprocesses (fresh JVM each) and
+                           print throughput at both + scaling
+                           efficiency — the sandbox evidence for the
+                           north_rule's N→4N ≥0.8 criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline queries: one per operator family (SURVEY.md §2), fast enough
+# at sf0.1 to keep the per-round bench under a few minutes.
+HEADLINE = [
+    "q1_pricing_summary",      # hash-agg scan
+    "dedupe_latest_order",     # window argmax
+    "fx_enrich_orders",        # broadcast dim join + derivation
+    "weekly_best_order",       # week-trunc group min (flagship)
+    "daily_drift",             # outer-join day compare
+    "top3_orders_per_customer",# per-group top-k window
+    "customers_without_orders",# anti join (seen-set shape)
+    "union_live_history",      # union-all + partition-pruned scan
+    "sessionize_users",        # lag + cumulative session windows
+    "exact_dedup_prefix",      # exact duplicate groups on documents
+    "minhash_lsh_candidates",  # minhash/LSH near-dup candidates
+    "simhash_near_dups",       # simhash hamming near-dups
+    "doc_token_stats",         # tokenize/quality text analysis
+    "cosine_topk",             # brute-force ANN top-k
+    "ann_lsh_topk",            # LSH-bucketed ANN
+    "multimodal_image_features",  # binary payload decode plumbing
+]
+
+
+def _force(df) -> int:
+    """Execute the plan fully; return row count (cheap for our results)."""
+    return df.count()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from ycrawl_spark.queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        _force(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def bench_crawl(spark, n_urls: int) -> dict:
+    """One full crawl to quiescence on a fresh synthetic frontier;
+    throughput = fetch attempts (fetched+validated rows) / wall sec."""
+    from ycrawl_spark.catalog import Catalog
+    from ycrawl_spark.config import CrawlConfig
+    from ycrawl_spark.pipeline import run_crawl
+
+    cfg = CrawlConfig(n_urls=n_urls, n_hosts=max(50, n_urls // 200))
+    workdir = tempfile.mkdtemp(prefix="ycrawl_bench_")
+    try:
+        t0 = time.time()
+        stats = run_crawl(spark, cfg, workdir, use_bloom=True)
+        elapsed = time.time() - t0
+        log = Catalog(workdir).table("fetch_log").read(spark)
+        n_fetched = log.count() if log is not None else 0
+        return {
+            "urls": n_fetched,
+            "sec": round(elapsed, 3),
+            "urls_per_sec": round(n_fetched / elapsed, 2),
+            "epochs": len(stats),
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def run_scaling(n_urls: int, low: int, high: int) -> dict:
+    out = {}
+    for cores in (low, high):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only",
+             "--cores", str(cores), "--n-urls", str(n_urls)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        out[f"local[{cores}]"] = json.loads(line)
+    t_low = out[f"local[{low}]"]["urls_per_sec"]
+    t_high = out[f"local[{high}]"]["urls_per_sec"]
+    out["scaling_efficiency"] = round((t_high / t_low) / (high / low), 3)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--n-urls", type=int,
+                    default=int(os.environ.get("BENCH_CRAWL_URLS", "60000")))
+    ap.add_argument("--scale-low", type=int, default=8)
+    ap.add_argument("--scale-high", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.scaling:
+        res = run_scaling(args.n_urls, args.scale_low, args.scale_high)
+        print(json.dumps(res))
+        return
+
+    from ycrawl_spark.session import get_spark
+
+    cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or 32
+    spark = get_spark(cores=cores, shuffle_partitions=max(cores, 32),
+                      app_name="ycrawl_bench")
+    try:
+        if args.crawl_only:
+            crawl = bench_crawl(spark, args.n_urls)
+            crawl["cores"] = cores
+            print(json.dumps(crawl))
+            return
+
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        try:
+            sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+        except ValueError:
+            sf = 0.1
+
+        t0 = time.time()
+        qtimes = bench_queries(spark, sf_dir)
+        crawl = bench_crawl(spark, args.n_urls)
+        total = round(time.time() - t0, 3)
+        print(json.dumps({
+            "metric": "headline query suite + crawl pipeline wall time "
+                      "(crawl.urls_per_sec = URLs fetched+validated/sec, "
+                      "BASELINE.json north-star)",
+            "value": total,
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": sf,
+            "crawl": crawl,
+            "cores": cores,
+        }))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
