@@ -75,6 +75,26 @@ class Table:
         self._commit(snaps)
         return snap_id
 
+    def replace(self, df: DataFrame, epoch: int | None = None,
+                meta: dict | None = None) -> str:
+        """Write df as the table's ONLY snapshot (Iceberg
+        ``createOrReplace`` semantics) and garbage-collect data files of
+        superseded snapshots after the commit. Used for compacted state
+        tables (e.g. ``seen_agg``) rewritten every epoch."""
+        import shutil
+
+        old_dirs = [p for s in self.snapshots() for p in s.files]
+        snap_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self.path, "data", snap_id)
+        df.write.mode("overwrite").parquet(data_dir)
+        self._commit([
+            Snapshot(snapshot_id=snap_id, sequence=0, epoch=epoch,
+                     files=[data_dir], meta=meta or {})
+        ])
+        for d in old_dirs:  # best-effort GC; manifest no longer references them
+            shutil.rmtree(d, ignore_errors=True)
+        return snap_id
+
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
         """Union of all snapshot data up to ``as_of`` (time travel)."""
         snaps = self.snapshots()

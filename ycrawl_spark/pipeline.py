@@ -38,23 +38,46 @@ class EpochStats:
     n_err: int
 
 
-def seen_state(spark: SparkSession, cat: Catalog, cfg: CrawlConfig):
-    """(excluded_keys_df, attempts_df) derived from fetch_log.
-
-    excluded = done ∪ forfeit; attempts = (key, err_count) for keys
-    still retryable. Both are aggregations over the append-only log.
-    """
-    log = cat.table("fetch_log").read(spark)
-    if log is None:
-        return None, None
-    agg = log.groupBy("key").agg(
+def _agg_from_log(log: DataFrame) -> DataFrame:
+    """(key, done, err_count) derived from the append-only fetch_log —
+    the ground-truth derivation, used to (re)build ``seen_agg``."""
+    return log.groupBy("key").agg(
         F.max(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("done"),
         F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err_count"),
     )
-    excluded = agg.filter(
+
+
+def load_seen_agg(spark: SparkSession, cat: Catalog) -> DataFrame | None:
+    """Latest compacted seen-state, reconciled against fetch_log.
+
+    ``seen_agg`` is a compaction of ``_agg_from_log`` maintained
+    incrementally each epoch (so the hot path never re-aggregates the
+    whole log). fetch_log remains the source of truth: if the compact
+    snapshot is missing or stale (crash between the log append and the
+    seen_agg replace), it is rebuilt from the log — resume stays
+    deterministic either way.
+    """
+    log_t, agg_t = cat.table("fetch_log"), cat.table("seen_agg")
+    last_log = log_t.latest_epoch()
+    if last_log is None:
+        return None
+    if agg_t.latest_epoch() != last_log:
+        agg_t.replace(_agg_from_log(log_t.read(spark)), epoch=last_log)
+    return agg_t.read(spark)
+
+
+def seen_state(seen_agg: DataFrame | None, cfg: CrawlConfig):
+    """(excluded_keys_df, attempts_df) from the compacted seen_agg.
+
+    excluded = done ∪ forfeit; attempts = (key, err_count) for keys
+    still retryable.
+    """
+    if seen_agg is None:
+        return None, None
+    excluded = seen_agg.filter(
         (F.col("done") == 1) | (F.col("err_count") >= cfg.max_retry)
     ).select("key")
-    attempts = agg.filter(
+    attempts = seen_agg.filter(
         (F.col("done") == 0) & (F.col("err_count") < cfg.max_retry)
     ).select("key", "err_count")
     return excluded, attempts
@@ -62,30 +85,43 @@ def seen_state(spark: SparkSession, cat: Catalog, cfg: CrawlConfig):
 
 def run_epoch(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
               frontier: DataFrame, politeness: DataFrame, images: DataFrame,
-              epoch: int, use_bloom: bool = True) -> EpochStats:
-    excluded, attempts = seen_state(spark, cat, cfg)
+              epoch: int, use_bloom: bool = True,
+              seen_agg: DataFrame | None = None,
+              n_seen_hint: int = 0,
+              hot_hosts: list[str] | None = None) -> tuple[EpochStats, DataFrame | None]:
+    """One epoch. Returns (stats, new_seen_agg).
 
+    ``seen_agg`` is the driver-held compacted seen-state; ``n_seen_hint``
+    an upper bound on attempted keys (cumulative selected count — sizes
+    the Bloom filter without a count() job); ``hot_hosts`` the static
+    salting list (scheduler.hot_hosts_of).
+    """
     candidates = frontier.filter(F.col("robots_ok"))
-    if excluded is not None:
+    if seen_agg is not None:
         bloom = None
-        if use_bloom:
-            n_seen = excluded.count()
-            if n_seen:
-                bloom = seen_mod.build_bloom(excluded, "key", n_items_hint=n_seen)
-        candidates = seen_mod.anti_join_unseen(candidates, excluded, "key", bloom, spark)
-        candidates = candidates.join(attempts, "key", "left")
+        if use_bloom and n_seen_hint > 0:
+            # Bloom over *attempted* keys: one state join for maybe-hits
+            # only, instead of anti-join + attempts-join over the full
+            # frontier (two shuffles → at most one, of a small subset).
+            bloom = seen_mod.build_bloom(
+                seen_agg.select("key"), "key", n_items_hint=n_seen_hint
+            )
+        candidates = seen_mod.join_seen_state(candidates, seen_agg, "key", bloom, spark)
+        candidates = candidates.filter(
+            (F.col("done") == 0) & (F.col("err_count") < cfg.max_retry)
+        ).drop("done")
     else:
-        candidates = candidates.withColumn("err_count", F.lit(None).cast("long"))
+        candidates = candidates.withColumn("err_count", F.lit(0).cast("long"))
     candidates = candidates.withColumn(
-        "attempt", (F.coalesce(F.col("err_count"), F.lit(0)) + 1).cast("int")
+        "attempt", (F.col("err_count") + 1).cast("int")
     ).drop("err_count")
 
-    selected = scheduler.select_per_host_budget(candidates, politeness, cfg)
+    selected = scheduler.select_per_host_budget(candidates, politeness, cfg, hot_hosts)
     ordered = scheduler.crawl_shuffle_order(selected, cfg, epoch).persist()
     n_selected = ordered.count()
     if n_selected == 0:
         ordered.unpersist()
-        return EpochStats(epoch, 0, 0, 0, 0)
+        return EpochStats(epoch, 0, 0, 0, 0), seen_agg
 
     fetched = fetch_mod.fetch_stage(ordered, cfg, epoch).persist()
     log_cols = fetched.select(
@@ -105,6 +141,8 @@ def run_epoch(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         epoch=epoch,
     )
 
+    # Per-partition lineage counters (north_rule observability), cached
+    # small so the epoch-level rollup below is a cheap second job.
     counters = (
         fetched.groupBy("canonical_host")
         .agg(
@@ -113,14 +151,32 @@ def run_epoch(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
             F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err"),
         )
         .withColumn("epoch", F.lit(epoch))
+        .persist()
     )
     cat.table("checkpoint").append(counters, epoch=epoch)
+    roll = counters.agg(F.sum("ok").alias("ok"), F.sum("err").alias("err")).first()
+    n_ok, n_err = int(roll["ok"] or 0), int(roll["err"] or 0)
 
-    n_ok = ok.count()
-    n_err = n_selected - n_ok
+    # Incremental seen-state compaction: old agg ∪ epoch delta, written
+    # as the table's single snapshot and read back (cuts lineage; few
+    # large files instead of an ever-growing multi-snapshot union).
+    delta = fetched.groupBy("key").agg(
+        F.max(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("done"),
+        F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err_count"),
+    )
+    merged = (
+        delta if seen_agg is None else seen_agg.unionByName(delta)
+        .groupBy("key")
+        .agg(F.max("done").alias("done"), F.sum("err_count").alias("err_count"))
+    )
+    agg_t = cat.table("seen_agg")
+    agg_t.replace(merged, epoch=epoch)
+    new_agg = agg_t.read(spark)
+
+    counters.unpersist()
     fetched.unpersist()
     ordered.unpersist()
-    return EpochStats(epoch, -1, n_selected, n_ok, n_err)
+    return EpochStats(epoch, -1, n_selected, n_ok, n_err), new_agg
 
 
 def run_crawl(spark: SparkSession, cfg: CrawlConfig, workdir: str,
@@ -146,12 +202,32 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig, workdir: str,
         if last is not None:
             start_epoch = last + 1
 
+    # Existing state is honoured whether or not resume renumbers epochs:
+    # a second run on a finished workdir selects 0 (idempotent).
+    seen_agg = load_seen_agg(spark, cat)
+    n_seen_hint = 0
+    if seen_agg is not None:
+        seen_agg = seen_agg.persist()
+        n_seen_hint = seen_agg.count()
+
+    hot_hosts = scheduler.hot_hosts_of(frontier.filter(F.col("robots_ok")), cfg)
+
     stats: list[EpochStats] = []
     for epoch in range(start_epoch, cfg.max_epochs + 1):
-        st = run_epoch(spark, cat, cfg, frontier, politeness, images, epoch, use_bloom)
+        st, new_agg = run_epoch(
+            spark, cat, cfg, frontier, politeness, images, epoch, use_bloom,
+            seen_agg=seen_agg, n_seen_hint=n_seen_hint, hot_hosts=hot_hosts,
+        )
         stats.append(st)
         if st.n_selected == 0:
             break
+        if new_agg is not seen_agg:
+            if seen_agg is not None:
+                seen_agg.unpersist()
+            seen_agg = new_agg.persist()
+        n_seen_hint += st.n_selected
+    if seen_agg is not None:
+        seen_agg.unpersist()
     frontier.unpersist()
     politeness.unpersist()
     return stats

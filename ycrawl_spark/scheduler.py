@@ -32,12 +32,29 @@ def _order():
     return [F.col(c).asc() for c in ORDER_COLS]
 
 
+def hot_hosts_of(frontier: DataFrame, cfg: CrawlConfig) -> list[str]:
+    """Hosts whose frontier candidate count exceeds the salting
+    threshold. The frontier is static per crawl, so this is computed
+    once at crawl start, not per epoch — salting is a physical choice;
+    phase 2 re-ranks exactly regardless of which hosts are salted."""
+    return [
+        r["canonical_host"]
+        for r in frontier.groupBy("canonical_host")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cfg.hot_host_threshold)
+        .collect()
+    ]
+
+
 def select_per_host_budget(candidates: DataFrame, politeness: DataFrame,
-                           cfg: CrawlConfig) -> DataFrame:
+                           cfg: CrawlConfig,
+                           hot_hosts: list[str] | None = None) -> DataFrame:
     """Top-``max_per_epoch`` candidates per host this epoch.
 
     ``politeness``: (canonical_host, max_per_epoch, ...) small dim →
-    broadcast join. Returns candidates + ``host_rank`` (1-based).
+    broadcast join. ``hot_hosts``: precomputed salting list (see
+    ``hot_hosts_of``); None → detect dynamically from the candidates.
+    Returns candidates + ``host_rank`` (1-based).
     """
     withb = candidates.join(
         F.broadcast(politeness.select("canonical_host", "max_per_epoch")),
@@ -48,12 +65,20 @@ def select_per_host_budget(candidates: DataFrame, politeness: DataFrame,
         F.coalesce(F.col("max_per_epoch"), F.lit(cfg.default_budget_per_host)),
     )
 
-    # Hot-host detection (explicit salting of hot hosts, north_rule).
-    counts = withb.groupBy("canonical_host").agg(F.count("*").alias("_host_n"))
-    hot = counts.filter(F.col("_host_n") > cfg.hot_host_threshold).select(
-        "canonical_host", F.lit(True).alias("_hot")
-    )
-    salted = withb.join(F.broadcast(hot), "canonical_host", "left").withColumn(
+    # Hot-host salting (explicit salting of hot hosts, north_rule).
+    if hot_hosts is None:
+        counts = withb.groupBy("canonical_host").agg(F.count("*").alias("_host_n"))
+        hot = counts.filter(F.col("_host_n") > cfg.hot_host_threshold).select(
+            "canonical_host", F.lit(True).alias("_hot")
+        )
+        withb = withb.join(F.broadcast(hot), "canonical_host", "left")
+    else:
+        withb = withb.withColumn(
+            "_hot",
+            F.when(F.col("canonical_host").isin(*hot_hosts), F.lit(True))
+            if hot_hosts else F.lit(None).cast("boolean"),
+        )
+    salted = withb.withColumn(
         "_salt",
         F.when(
             F.col("_hot").isNotNull(),

@@ -134,6 +134,54 @@ def anti_join_unseen(candidates: DataFrame, seen: DataFrame, key_col: str = "key
     return definite_new.unionByName(rechecked)
 
 
+def join_seen_state(candidates: DataFrame, seen_agg: DataFrame,
+                    key_col: str = "key", bloom: Bloom | None = None,
+                    spark=None) -> DataFrame:
+    """Attach crawl state (done, err_count) from the compacted seen_agg
+    to every candidate in ONE equi-join, bloom-gated.
+
+    The Bloom filter is built over *attempted* keys (any fetch_log row).
+    Definite-new candidates bypass the join entirely and get
+    (done=0, err_count=0); only maybe-hits shuffle into the join.
+    False positives resolve naturally: the left join finds no state row
+    and the fill gives (0, 0). Replaces the anti-join + attempts-join
+    pair with a single shuffle of the (small) maybe subset.
+    """
+    state = seen_agg.select(
+        key_col,
+        F.col("done").cast("int").alias("done"),
+        F.col("err_count").cast("long").alias("err_count"),
+    )
+
+    def _fill(df: DataFrame) -> DataFrame:
+        return df.withColumn("done", F.coalesce(F.col("done"), F.lit(0))).withColumn(
+            "err_count", F.coalesce(F.col("err_count"), F.lit(0).cast("long"))
+        )
+
+    if bloom is None:
+        return _fill(candidates.join(state, key_col, "left"))
+
+    bc = (spark or candidates.sparkSession).sparkContext.broadcast(
+        (bloom.m, bloom.k, bloom.to_bytes())
+    )
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(s: pd.Series) -> pd.Series:
+        m, k, raw = bc.value
+        b = Bloom.from_bytes(m, k, raw)
+        return pd.Series(b.contains_many(s.tolist()))
+
+    tagged = candidates.withColumn("_maybe", maybe_seen(F.col(key_col)))
+    definite_new = (
+        tagged.filter(~F.col("_maybe"))
+        .drop("_maybe")
+        .withColumn("done", F.lit(0))
+        .withColumn("err_count", F.lit(0).cast("long"))
+    )
+    maybe = _fill(tagged.filter(F.col("_maybe")).drop("_maybe").join(state, key_col, "left"))
+    return definite_new.unionByName(maybe)
+
+
 class Cuckoo:
     """Minimal cuckoo filter (8-bit fingerprints, bucket size 4) with
     delete support — fallback for seen-set deletions (retry re-arm).
