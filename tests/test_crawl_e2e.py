@@ -21,6 +21,7 @@ CFG = CrawlConfig(
     max_retry=2,
     fail_pct=15,
     max_epochs=40,
+    bloom_min_items=0,  # force the Bloom path at test scale
 )
 
 

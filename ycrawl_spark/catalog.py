@@ -95,6 +95,28 @@ class Table:
             shutil.rmtree(d, ignore_errors=True)
         return snap_id
 
+    def append_pdf(self, pdf, epoch: int | None = None,
+                   meta: dict | None = None) -> str:
+        """Append a small driver-side pandas frame as a snapshot via a
+        direct pyarrow write — no Spark job. Used for tiny per-epoch
+        metadata (checkpoint counters) where a full distributed write
+        would cost a scheduler round-trip for a handful of rows."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self.path, "data", snap_id)
+        os.makedirs(data_dir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(data_dir, "part-0.parquet"))
+        snaps = self.snapshots()
+        snaps.append(
+            Snapshot(snapshot_id=snap_id, sequence=len(snaps), epoch=epoch,
+                     files=[data_dir], meta=meta or {})
+        )
+        self._commit(snaps)
+        return snap_id
+
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
         """Union of all snapshot data up to ``as_of`` (time travel)."""
         snaps = self.snapshots()

@@ -47,7 +47,9 @@ def rng_for(image_id: str, stream: str = "pixels") -> np.random.Generator:
 
 def gen_dims(image_id: str) -> tuple[int, int]:
     r = rng_for(image_id, "dims")
-    sizes = np.array([16, 32, 64, 128])
+    # Realistic web-image decode cost matters for the throughput bench:
+    # ~1 ms/image at these sizes, the same order as real JPEG decode.
+    sizes = np.array([32, 64, 128, 256])
     return int(sizes[r.integers(0, 4)]), int(sizes[r.integers(0, 4)])
 
 
@@ -71,12 +73,20 @@ def phash64(pixels: np.ndarray) -> int:
 
     Stable under the lossy codec (bin width 4 barely moves block means),
     so phash(decode(encode(x))) == phash(x) for all fmts.
+
+    Integer block sums instead of float means: `block_sum > mean(block
+    sums)` orders identically to `block_mean > mean(block means)` (same
+    positive scale factor bh·bw·3), and integer accumulation keeps the
+    hot path free of float64 temporaries — this runs per fetched image,
+    so memory traffic here directly caps multi-core throughput.
     """
     h, w, _ = pixels.shape
-    gray = pixels.astype(np.float64).mean(axis=2)
-    # Average-pool to 8×8 via reshaped block means (dims are multiples of 8).
     bh, bw = h // 8, w // 8
-    blocks = gray[: bh * 8, : bw * 8].reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    blocks = (
+        pixels[: bh * 8, : bw * 8]
+        .reshape(8, bh, 8, bw, 3)
+        .sum(axis=(1, 3, 4), dtype=np.int64)
+    )
     bits = (blocks > blocks.mean()).astype(np.uint64).ravel()
     val = np.uint64(0)
     for i, b in enumerate(bits):
@@ -116,7 +126,10 @@ def decode(data: bytes) -> np.ndarray:
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    # int16 diff + int32 squares: exact, and half the memory traffic of
+    # the float64 formulation (hot path — runs per fetched image).
+    d = a.astype(np.int16) - b.astype(np.int16)
+    mse = np.mean(d.astype(np.int32) ** 2)
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0**2 / mse))

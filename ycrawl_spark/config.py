@@ -34,6 +34,22 @@ class CrawlConfig:
 
     max_epochs: int = 64
 
+    # Seen-set Bloom gating: the Bloom prefilter pays for itself only
+    # once the attempted-key set is large enough that shuffling it into
+    # the state join dominates the build+broadcast cost. Below the
+    # threshold the exact join runs alone (same results either way —
+    # tests force the Bloom path with bloom_min_items=0).
+    # Below ~1M attempted keys the state side still broadcast-joins
+    # (tens of MB), so the exact join wins outright; beyond it the
+    # Bloom gates the shuffled join down to maybe-hits only.
+    bloom_min_items: int = 1_000_000
+
+    # Durable seen-state compaction cadence: the in-memory state is
+    # localCheckpoint'ed every epoch; the parquet snapshot (resume
+    # fast-path) is rewritten every K epochs. Resume after a crash
+    # between snapshots rebuilds state from the append-only fetch_log.
+    state_compact_every: int = 4
+
     # Robots: hosts whose path prefix is disallowed are excluded at
     # frontier build (north_rule robots budget).
     robots_disallow: tuple[str, ...] = ("/private/",)

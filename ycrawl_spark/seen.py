@@ -136,7 +136,7 @@ def anti_join_unseen(candidates: DataFrame, seen: DataFrame, key_col: str = "key
 
 def join_seen_state(candidates: DataFrame, seen_agg: DataFrame,
                     key_col: str = "key", bloom: Bloom | None = None,
-                    spark=None) -> DataFrame:
+                    spark=None, broadcast_state: bool = False) -> DataFrame:
     """Attach crawl state (done, err_count) from the compacted seen_agg
     to every candidate in ONE equi-join, bloom-gated.
 
@@ -152,6 +152,11 @@ def join_seen_state(candidates: DataFrame, seen_agg: DataFrame,
         F.col("done").cast("int").alias("done"),
         F.col("err_count").cast("long").alias("err_count"),
     )
+    if broadcast_state:
+        # Caller knows the state is small (below the Bloom threshold):
+        # hint it explicitly so the left join never falls back to a
+        # sort-merge that shuffles the frontier side every epoch.
+        state = F.broadcast(state)
 
     def _fill(df: DataFrame) -> DataFrame:
         return df.withColumn("done", F.coalesce(F.col("done"), F.lit(0))).withColumn(

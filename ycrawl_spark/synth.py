@@ -97,12 +97,22 @@ def images_pdf(cfg: CrawlConfig, start: int = 0, stop: int | None = None) -> pd.
     return pd.DataFrame([codecs.make_image_row(image_id_for(i)) for i in range(start, stop)])
 
 
-def images_df(spark, cfg: CrawlConfig):
-    """Distributed image-table build with the exact input_hint schema."""
+def images_df(spark, cfg: CrawlConfig, with_bytes: bool = True):
+    """Distributed image-table build with the exact input_hint schema.
+
+    ``with_bytes=False`` nulls the payload column (metadata — dims,
+    caption, phash — is still derived from fully encoded+decoded
+    pixels): the crawl's validation join never reads ``bytes``, so
+    benchmark setup skips materializing multi-GB payloads that no
+    query would touch. Correctness tests keep the default."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            yield pd.DataFrame([codecs.make_image_row(image_id_for(int(i))) for i in b["id"]])
+            rows = [codecs.make_image_row(image_id_for(int(i))) for i in b["id"]]
+            if not with_bytes:
+                for r in rows:
+                    r["bytes"] = None
+            yield pd.DataFrame(rows)
 
     n_parts = max(8, cfg.n_urls // 10_000)
     return (

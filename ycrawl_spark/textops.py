@@ -280,6 +280,67 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 8,
     ).filter(F.col("hamming") <= max_hamming)
 
 
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish regex tokenization (letter runs / digit runs / single
+    punctuation — the GPT-2-style pre-tokenizer shape) with counts.
+    `regexp_extract_all` keeps it JVM-side; contrast with the
+    whitespace tokenizer in ``token_stats``."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    ws = F.split(F.col(text_col), " ")
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.round(F.size(toks) / F.size(ws), 4).alias("fertility"),
+    )
+
+
+def char_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-class quality signals: length, punctuation density,
+    digit density, mean word length — standard training-data filters
+    (e.g. Gopher rules), all built-in string ops."""
+    txt = F.col(text_col)
+    n = F.length(txt)
+    n_punct = n - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))
+    n_digit = n - F.length(F.regexp_replace(txt, r"[0-9]", ""))
+    n_space = n - F.length(F.regexp_replace(txt, r" ", ""))
+    return df.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.round(n_punct / n, 4).alias("punct_ratio"),
+        F.round(n_digit / n, 4).alias("digit_ratio"),
+        F.round((n - n_space - n_punct) / (n_space + 1), 4).alias("mean_word_len"),
+    )
+
+
+def zip_explode_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Multi-column zip-explode — the reference's
+    ``df.explode(["rate_type","rate_sum","rate_avg"])`` semantics
+    (/root/reference/DataProcessor/main.py:123-124) done the Spark way:
+    ``explode(arrays_zip(...))`` then flatten, never independent
+    explodes (which would cross-product)."""
+    t = with_tokens(df, text_col)
+    lens = F.transform("tokens", lambda x: F.length(x))
+    return (
+        t.select("doc_id", F.explode(F.arrays_zip("tokens", lens.alias("tok_len"))).alias("z"))
+        .select("doc_id", F.col("z.tokens").alias("token"), F.col("z.tok_len").alias("tok_len"))
+    )
+
+
+def validate_shape(df: DataFrame, array_cols: list[str]) -> DataFrame:
+    """Row valid iff all array columns have equal length — the
+    reference's pre-explode shape check (/root/reference/DataProcessor/
+    main.py:114-121); invalid rows go to quarantine, not exceptions."""
+    sizes = [F.size(c) for c in array_cols]
+    ok = F.lit(True)
+    for s in sizes[1:]:
+        ok = ok & (sizes[0] == s)
+    return df.withColumn("shape_ok", ok)
+
+
 def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive document fingerprint: rolling hash-chain of
     token hashes (JVM-side aggregate). Hash-of-(state||token) chaining

@@ -122,6 +122,105 @@ def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 3, n_planes: int 
     )
 
 
+def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                     id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold, a < b).
+
+    Exact all-pairs baseline — correct but O(n²); at corpus scale the
+    LSH-bucketed path (``ann_lsh_topk`` buckets, or minhash over
+    quantized vectors) prefilters candidates and this exact scoring
+    runs only within buckets. JVM-side dot products throughout.
+    """
+    sides = with_norm(df, emb_col)
+    a = sides.select(
+        F.col(id_col).alias("doc_a"), _as_double(emb_col).alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = sides.select(
+        F.col(id_col).alias("doc_b"), _as_double(emb_col).alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos_sim", dot / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def ivf_ann_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+                 n_cells: int = 8, n_probe: int = 2, seed: int = 42,
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate NN: partition vectors into inverted cells
+    around deterministic centroids; queries probe the ``n_probe``
+    nearest cells and re-rank exactly inside them.
+
+    Centroids are seeded picks from the data (hash-min sample) — at
+    10^9-vector scale this is the standard coarse quantizer shape:
+    centroid assignment is a broadcast of C·dim floats, the big table
+    shuffles once by cell, queries touch n_probe/C of the data.
+    """
+    rows = (
+        df.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(n_cells).select(emb_col).collect()
+    )
+    cents = [np.asarray(r[0], dtype=np.float64) for r in rows]
+    cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
+
+    def cell_expr(prefix_norm_col: str, emb: str):
+        # nearest centroid by cosine = argmax of dot with unit centroids
+        scored = [
+            F.struct(
+                (-F.aggregate(
+                    F.zip_with(
+                        _as_double(emb),
+                        F.array(*[F.lit(float(v)) for v in c]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ) / F.col(prefix_norm_col)).alias("negdot"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+        return F.array_sort(F.array(*scored))
+
+    base = with_norm(df, emb_col).withColumn(
+        "cell", cell_expr("norm", emb_col)[0]["cell"]
+    ).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(emb_col).alias("emb_n"),
+        F.col("norm").alias("norm_n"), "cell",
+    )
+    queries = (
+        with_norm(df.filter(F.col(id_col).isin(query_ids)), emb_col)
+        .withColumn("cells", F.slice(cell_expr("norm", emb_col), 1, n_probe))
+        .select(
+            F.col(id_col).alias("query_id"), _as_double(emb_col).alias("emb_q"),
+            F.col("norm").alias("norm_q"),
+            F.explode(F.transform("cells", lambda s: s["cell"])).alias("cell"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_q", "emb_n", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    scored = (
+        base.join(F.broadcast(queries), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", dot / (F.col("norm_q") * F.col("norm_n")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def label_norm_stats(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
     """Per-label mean vector norm — embedding-column sanity aggregate."""
     return (
