@@ -667,6 +667,339 @@ def rolling_fingerprint(spark, sf_dir):
     return textops.rolling_fingerprint(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "bpe_token_stats",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           ROUND(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) * 1.0
+                 / len(string_split(text, ' ')), 4) AS fertility
+    FROM documents
+    """,
+)
+def bpe_token_stats(spark, sf_dir):
+    """BPE-ish regex pre-tokenizer counts + fertility vs whitespace."""
+    return textops.bpe_token_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "char_quality",
+    r"""
+    SELECT doc_id,
+           len(text) AS n_chars,
+           ROUND((len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+                 / len(text), 4) AS punct_ratio,
+           ROUND((len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+                 / len(text), 4) AS digit_ratio,
+           ROUND((len(text) - (len(text) - len(regexp_replace(text, ' ', '', 'g')))
+                  - (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))) * 1.0
+                 / ((len(text) - len(regexp_replace(text, ' ', '', 'g'))) + 1), 4)
+                 AS mean_word_len
+    FROM documents
+    """,
+)
+def char_quality(spark, sf_dir):
+    """Character-class quality filters (length/punct/digit densities)."""
+    return textops.char_quality(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "zip_explode_token_lens",
+    """
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           unnest(list_transform(string_split(text, ' '), x -> len(x))) AS tok_len
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def zip_explode_token_lens(spark, sf_dir):
+    """Multi-column zip-explode via explode(arrays_zip(...)) — the
+    reference's multi-col DataFrame.explode semantics
+    (/root/reference/DataProcessor/main.py:123-124); DuckDB's parallel
+    unnest zips identically."""
+    return textops.zip_explode_tokens(
+        load(spark, sf_dir, "documents").filter("doc_id < 40")
+    )
+
+
+@query(
+    "validate_shape_split",
+    """
+    SELECT shape_ok, COUNT(*) AS n FROM (
+      SELECT len(string_split(text, ' ')) =
+             len(list_filter(string_split(text, ' '), x -> len(x) > 3)) AS shape_ok
+      FROM documents) GROUP BY shape_ok
+    """,
+)
+def validate_shape_split(spark, sf_dir):
+    """Pre-explode array-shape validation split (reference
+    /root/reference/DataProcessor/main.py:114-121): rows whose array
+    columns disagree in length route to quarantine, not exceptions."""
+    d = textops.with_tokens(load(spark, sf_dir, "documents"))
+    d = d.withColumn("long_toks", F.filter("tokens", lambda x: F.length(x) > 3))
+    return (
+        textops.validate_shape(d, ["tokens", "long_toks"])
+        .groupBy("shape_ok")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "num_normalize_prices",
+    """
+    SELECT p_partkey,
+           CAST(regexp_replace('EUR ' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR)
+                               || ' /night', '[^0-9.]', '', 'g') AS DOUBLE) AS parsed,
+           CAST(replace(regexp_replace(replace(
+                  'EUR ' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR)
+                  || ' /night', '.', ','), '[^0-9,]', '', 'g'), ',', '.') AS DOUBLE)
+             AS parsed_comma
+    FROM part
+    """,
+)
+def num_normalize_prices(spark, sf_dir):
+    """Locale-robust numeric normalization (reference num/eunum,
+    /root/reference/DataProcessor/cooker.py:7-9): strip currency tokens,
+    plus the comma-decimal variant."""
+    p = load(spark, sf_dir, "part")
+    messy = F.concat(
+        F.lit("EUR "), F.col("p_retailprice").cast("decimal(18,2)").cast("string"),
+        F.lit(" /night"),
+    )
+    messy_comma = F.translate(messy, ".", ",")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(messy, "[^0-9.]", "").cast("double").alias("parsed"),
+        F.translate(F.regexp_replace(messy_comma, "[^0-9,]", ""), ",", ".")
+        .cast("double").alias("parsed_comma"),
+    )
+
+
+@query(
+    "weekly_best_filtered",
+    """
+    SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS weekstart,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS best_price,
+           COUNT(*) AS n
+    FROM orders
+    WHERE NOT regexp_matches(o_orderpriority, '(1-URGENT|2-HIGH)')
+    GROUP BY 1
+    """,
+)
+def weekly_best_filtered(spark, sf_dir):
+    """Weekly best with negative-regex pre-filter (reference weekly_best
+    excludes 'Non|Prepay' rate types, /root/reference/DataProcessor/
+    reporting.py:107-111)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(~F.col("o_orderpriority").rlike("(1-URGENT|2-HIGH)"))
+        .groupBy(F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("weekstart"))
+        .agg(
+            F.min(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("best_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "completion_vote",
+    """
+    SELECT d, statuses, statuses = 'click,error,purchase,signup,view' AS all_done
+    FROM (
+      SELECT CAST(ts AS DATE) AS d,
+             array_to_string(list_sort(list_distinct(list(event_type))), ',') AS statuses
+      FROM events GROUP BY 1)
+    """,
+)
+def completion_vote(spark, sf_dir):
+    """Set-equality completion vote (reference all-done check compares
+    completed-server sets, /root/reference/Frontend/functions.py:43-71):
+    sorted collect_set vs the expected full set."""
+    e = load(spark, sf_dir, "events")
+    statuses = F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(statuses.alias("statuses"))
+        .withColumn("all_done", F.col("statuses") == "click,error,purchase,signup,view")
+    )
+
+
+@query(
+    "monitor_segment_join",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (o.o_orderstatus = 'F') AS n_ok,
+           COUNT(*) FILTER (o.o_orderstatus <> 'F') AS n_err
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def monitor_segment_join(spark, sf_dir):
+    """Monitor join: planned-work ↔ outcomes, per-brand OK/ERR rollup
+    (reference /root/reference/Frontend/monitor.py:16-57)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ok = F.col("o_orderstatus") == "F"
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(ok.cast("long")).alias("n_ok"),
+            F.sum((~ok).cast("long")).alias("n_err"),
+        )
+    )
+
+
+@query(
+    "date_stride_shard",
+    """
+    SELECT d FROM (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1996-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d)
+    WHERE (d - DATE '1995-01-01') % 7 = 0
+      AND (d - DATE '1970-01-01') % 4 = 2
+    """,
+)
+def date_stride_shard(spark, sf_dir):
+    """Frontier date generation: every-7th-day stride + CONTROL_ID
+    quarter-shard (reference /root/reference/config.py:17,26-35)."""
+    base = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1996-12-31").cast("date"),
+            )
+        ).alias("d")
+    )
+    return base.filter(
+        (F.pmod(F.datediff("d", F.lit("1995-01-01").cast("date")), F.lit(7)) == 0)
+        & (F.pmod(F.datediff("d", F.lit("1970-01-01").cast("date")), F.lit(4)) == 2)
+    ).select("d")
+
+
+@query(
+    "url_build_dispatch",
+    """
+    SELECT p_partkey,
+           CASE WHEN len(string_split(p_name, ' ')[1]) = 4
+                  THEN printf('https://accor.example.com/%s?d=%s',
+                              string_split(p_name, ' ')[1],
+                              strftime(DATE '1995-01-01' + to_days(p_size), '%Y-%m-%d'))
+                WHEN len(string_split(p_name, ' ')[1]) = 5
+                  THEN printf('https://hilton.example.com/%s/%d',
+                              string_split(p_name, ' ')[1], p_size % 7 + 1)
+                ELSE printf('https://marriott.example.com/%s', string_split(p_name, ' ')[1])
+           END AS url
+    FROM part
+    """,
+)
+def url_build_dispatch(spark, sf_dir):
+    """URL builder with length-based vendor dispatch + date arithmetic
+    (reference dispatches on hotel-code length, /root/reference/
+    Coordinator/url_builder.py:28-47)."""
+    p = load(spark, sf_dir, "part")
+    code = F.split("p_name", " ")[0]
+    d = F.date_format(F.date_add(F.lit("1995-01-01").cast("date"), F.col("p_size")),
+                      "yyyy-MM-dd")
+    return p.select(
+        "p_partkey",
+        F.when(F.length(code) == 4,
+               F.format_string("https://accor.example.com/%s?d=%s", code, d))
+        .when(F.length(code) == 5,
+              F.format_string("https://hilton.example.com/%s/%d", code,
+                              F.pmod(F.col("p_size"), F.lit(7)) + 1))
+        .otherwise(F.format_string("https://marriott.example.com/%s", code))
+        .alias("url"),
+    )
+
+
+@query(
+    "rollup_order_counts",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_order_counts(spark, sf_dir):
+    """Hierarchical rollup totals (beyond the reference's flat groupbys;
+    standard OLAP surface for the history tables)."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "distinct_users_daily",
+    """
+    SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_users_daily(spark, sf_dir):
+    """Exact per-day distinct users (count-distinct baseline)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query("approx_distinct_users")  # HLL sketch → no SQL oracle (rows-only)
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ per-day distinct users — the sketch path that
+    replaces exact count-distinct at 10^10-event scale (one pass, no
+    per-key state)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"))
+    )
+
+
+@query(
+    "asof_last_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.cts AS last_click_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.cts
+    """,
+)
+def asof_last_click(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it. Spark-native formulation: union the two
+    streams, running last_value(click_ts) per user — one shuffle on
+    user_id, no range explosion (DuckDB verifies via ASOF JOIN)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ets"), F.col("ts").alias("click_ts"),
+        F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ets"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("kind"), "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ets", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        clicks.unionByName(buys)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", F.col("ets").alias("ts"), "last_click_ts")
+    )
+
+
 # ───────────────────────── embeddings: similarity search ─────────────────────────
 
 @query(
@@ -697,6 +1030,35 @@ def cosine_topk(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate NN (sign-random-projection buckets)."""
     return vectors.ann_lsh_topk(load(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3)
+
+
+@query("ivf_ann_topk")  # data-sampled centroids → no SQL oracle (rows-only)
+def ivf_ann_topk(spark, sf_dir):
+    """IVF-flat approximate NN: coarse-quantizer cells + n_probe
+    exact re-rank — the standard billion-vector layout."""
+    return vectors.ivf_ann_topk(
+        load(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3,
+        n_cells=8, n_probe=3,
+    )
+
+
+@query(
+    "cosine_dup_pairs",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                      sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[])) AS nrm
+               FROM embeddings)
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.6
+    """,
+)
+def cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    LSH buckets are the scale path)."""
+    return vectors.cosine_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.6)
 
 
 @query(
