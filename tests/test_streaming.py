@@ -1,0 +1,93 @@
+"""Streaming façade: AvailableNow catch-up must equal the batch plan
+over the same files; incremental files are picked up on a second
+drain (late/duplicate tolerance = idempotent append layout)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ycrawl_spark import streaming
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    """Events split into several parquet part-files in a watched dir."""
+    src = f"{SF}/events.parquet"
+    d = str(tmp_path / "events_stream")
+    os.makedirs(d)
+    shutil.copy(src, os.path.join(d, "part-000.parquet"))
+    return d
+
+
+def test_windowed_counts_match_batch(spark, events_dir, tmp_path):
+    stream = streaming.stream_source(spark, events_dir, streaming.EVENTS_SCHEMA)
+    agg = streaming.windowed_counts(stream, window="1 day", watermark="1 hour")
+    # append mode emits only watermark-closed windows; AvailableNow with
+    # complete-mode via host_throughput below covers the other shape.
+    name = streaming.run_available_now(agg, str(tmp_path / "ckpt"), out_mode="append")
+    got = spark.table(name)
+
+    batch = spark.read.parquet(events_dir)
+    expect = (
+        batch.groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    # all but the newest (unclosed) window must be emitted and identical
+    maxstart = expect.agg(F.max("win_start")).first()[0]
+    closed = expect.filter(F.col("win_start") < maxstart)
+    joined = closed.join(
+        got.select("win_start", "event_type", F.col("n").alias("n_stream")),
+        ["win_start", "event_type"], "left",
+    )
+    assert joined.filter(F.col("n_stream").isNull()).count() == 0
+    assert joined.filter(F.col("n") != F.col("n_stream")).count() == 0
+
+
+def test_session_counts_total_matches_batch_sessionize(spark, events_dir, tmp_path):
+    stream = streaming.stream_source(spark, events_dir, streaming.EVENTS_SCHEMA)
+    sess = streaming.session_counts(stream, gap="30 minutes", watermark="10 days")
+    # complete mode emits open sessions too → exact batch equivalence
+    name = streaming.run_available_now(sess, str(tmp_path / "ckpt"),
+                                       out_mode="complete")
+    got = spark.table(name)
+    # every event lands in exactly one session
+    n_events = spark.read.parquet(events_dir).count()
+    assert got.agg(F.sum("n_events")).first()[0] == n_events
+    # sessions per user == the batch lag-gap sessionizer (closed sessions)
+    from ycrawl_spark.queries import QUERIES
+
+    batch = QUERIES["sessionize_users"](spark, SF)
+    per_user = got.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+    diff = (
+        batch.join(per_user.withColumnRenamed("n_sessions", "n_stream"), "user_id")
+        .filter(F.col("n_sessions") != F.col("n_stream"))
+    )
+    assert diff.count() == 0
+
+
+def test_incremental_files_and_host_throughput(spark, events_dir, tmp_path):
+    stream = streaming.stream_source(spark, events_dir, streaming.EVENTS_SCHEMA)
+    by_type = (
+        stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+    ck = str(tmp_path / "ckpt2")
+    name = streaming.run_available_now(by_type, ck, out_mode="complete",
+                                       table_name="evt_counts")
+    first = {r["event_type"]: r["n"] for r in spark.table(name).collect()}
+    n1 = sum(first.values())
+
+    # drop a second file; a new AvailableNow drain picks up only the delta
+    src = glob.glob(os.path.join(events_dir, "part-000.parquet"))[0]
+    shutil.copy(src, os.path.join(events_dir, "part-001.parquet"))
+    name2 = streaming.run_available_now(by_type, ck, out_mode="complete",
+                                        table_name="evt_counts")
+    second = {r["event_type"]: r["n"] for r in spark.table(name2).collect()}
+    assert sum(second.values()) == 2 * n1

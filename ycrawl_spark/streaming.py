@@ -1,0 +1,115 @@
+"""Structured Streaming façade over the engine's append-only tables.
+
+The reference is micro-batch (hourly cron epochs, stage-barrier
+uploads — /root/reference/cron.yaml:2-4, /root/reference/Worker/
+main.py:61-64); the engine's batch loop mirrors that. This module adds
+the streaming read-side a long-running deployment would run next to
+the crawl: a file-source stream over a table's parquet snapshots with
+watermarked windowed aggregation, session windows, and
+Trigger.AvailableNow catch-up processing (the modern replacement for
+the reference's "poll until all files present" loop).
+
+Everything here is the built-in engine surface — no custom sinks, no
+per-row Python; late/duplicate tolerance comes from watermarks plus
+the idempotent append-only table layout.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+FETCH_LOG_SCHEMA = (
+    "key string, canonical_host string, epoch int, attempt int, "
+    "shuffle_rank long, status string, exetime double"
+)
+
+
+def stream_source(spark: SparkSession, path: str, schema: str,
+                  per_trigger_files: int = 8) -> DataFrame:
+    """File-source stream over a directory of parquet parts.
+
+    ``maxFilesPerTrigger`` bounds micro-batch size — the streaming
+    analog of the reference's stage-size batching.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", per_trigger_files)
+        .parquet(path)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the
+    streaming form of the daily drift snapshot aggregation
+    (/root/reference/DataProcessor/drift.py:17-22)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type", "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-based), the streaming equivalent of
+    the batch lag-gap sessionization in queries.sessionize_users."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+def host_throughput(fetch_log: DataFrame) -> DataFrame:
+    """Per-host fetch outcome counters from a streaming fetch_log —
+    the live view of the checkpoint lineage counters."""
+    return (
+        fetch_log.groupBy("canonical_host")
+        .agg(
+            F.count("*").alias("fetched"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+            F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err"),
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
+                      out_mode: str = "append",
+                      table_name: str | None = None) -> str:
+    """Drain everything currently available (Trigger.AvailableNow) into
+    an in-memory table; returns the table name to query.
+
+    This is the engine's catch-up path: identical results to the batch
+    plan over the same files, which the tests assert.
+    """
+    name = table_name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, name))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name

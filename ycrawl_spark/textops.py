@@ -12,13 +12,7 @@ projection (main.py:16-20); MinHash/SimHash/LSH are the scale path a
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
-
-from .hashing import xxh64_str
 
 STOPWORDS = ("the", "a", "data", "row", "key")
 
@@ -216,25 +210,31 @@ def minhash_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc — vectorized pandas UDF (bit-majority
-    voting is numpy territory, not SQL)."""
+    """64-bit SimHash per doc, fully JVM-side.
 
-    @F.pandas_udf("long")
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, txt in enumerate(texts):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in txt.split(" "):
-                h = xxh64_str(tok)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            val = np.uint64(0)
-            for bpos in np.flatnonzero(acc > 0):
-                val |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(val.astype(np.int64))
-        return pd.Series(out)
-
-    return df.select("doc_id", simhash_udf(F.col(text_col)).alias("simhash"))
+    Bit-majority voting as relational algebra: explode tokens, hash
+    once per token (``xxhash64`` — bit-identical to the simulator's
+    XXH64), then 64 conditional-sum aggregates (one per bit) with
+    map-side partial aggregation, so the shuffle carries one 64-long
+    row per doc per mapper. Replaces a pandas UDF whose per-token
+    Python loop was ~10× slower and Arrow-transferred every text.
+    """
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(shiftrightunsigned(h, {i}) & 1) = 1"), 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    val = F.lit(0).cast("long")
+    for i in range(63):
+        val = val + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    # bit 63 of the unsigned value is the sign bit of the int64 view
+    val = val + F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(0)
+    return agg.select("doc_id", val.alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, max_hamming: int = 8,
