@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from . import textops, vectors
+from . import scheduler, textops, vectors
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -184,10 +184,13 @@ def assign_seq_key_customer(spark, sf_dir):
     """Sequence-numbered crawl key, exact reference format
     '{date}_{H}{n:04d}' (Coordinator/main.py:28-31)."""
     c = load(spark, sf_dir, "customer")
-    w = W.orderBy("c_custkey")
-    return c.select(
+    # Scalable global ordinal: range-partition + local rank + offset
+    # prefix-sum (scheduler.with_global_pos) instead of an unpartitioned
+    # window, which would funnel the whole table through one task.
+    pos = scheduler.with_global_pos(c.select("c_custkey"), ["c_custkey"])
+    return pos.select(
         "c_custkey",
-        F.format_string("20260816_H%04d", F.row_number().over(w)).alias("crawl_key"),
+        F.format_string("20260816_H%04d", (F.col("pos") + 1).cast("int")).alias("crawl_key"),
     )
 
 
@@ -665,6 +668,99 @@ def simhash_near_dups(spark, sf_dir):
 def rolling_fingerprint(spark, sf_dir):
     """Order-sensitive rolling-hash fingerprint (JVM-side aggregate)."""
     return textops.rolling_fingerprint(load(spark, sf_dir, "documents"))
+
+
+def _minhash_md5_oracle(n_perm: int = 16, bands: int = 4, k: int = 4) -> str:
+    rows = n_perm // bands
+    sig_cols = ",\n           ".join(
+        f"min(md5('p{i}:' || s)) AS s{i}" for i in range(n_perm)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"s{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tokens) - {k - 1}, 0) + 1),
+               i -> array_to_string(tokens[i:i+{k - 1}], ' '))) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sig AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM ex GROUP BY doc_id
+    ), banded AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+@query("minhash_md5_lsh", _minhash_md5_oracle())
+def minhash_md5_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs with md5 permutations — same
+    relational shape as minhash_lsh_candidates but value-verifiable by
+    the DuckDB oracle (md5 identical in both engines)."""
+    return textops.minhash_md5_lsh_candidates(
+        load(spark, sf_dir, "documents"), n_perm=16, bands=4, k=4
+    )
+
+
+_DUCK_TOK_VAL = (
+    "(ascii(substr(md5(x),1,1))*16777216 + ascii(substr(md5(x),2,1))*65536"
+    " + ascii(substr(md5(x),3,1))*256 + ascii(substr(md5(x),4,1)))"
+)
+
+
+@query(
+    "rolling_fp_poly",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              x -> CAST({_DUCK_TOK_VAL} AS BIGINT))),
+             (acc, v) -> (acc * {textops.POLY_B} + v) % {textops.POLY_M}
+           ) AS poly_fp
+    FROM documents
+    """,
+)
+def rolling_fp_poly(spark, sf_dir):
+    """Polynomial rolling fingerprint (order-sensitive), exact oracle:
+    fold (acc·B + md5-derived token value) mod M, JVM-side aggregate."""
+    return textops.rolling_fp_poly(load(spark, sf_dir, "documents"))
+
+
+def _simhash_md5_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN ascii(substr(h,{i + 1},1)) >= 56 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    )
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16
+    FROM tok GROUP BY doc_id
+    """
+
+
+@query("simhash_md5", _simhash_md5_oracle())
+def simhash_md5(spark, sf_dir):
+    """16-bit SimHash sketch, bit-majority voting as 16 conditional
+    sums — exact oracle parity via md5 hex-digit bits."""
+    return textops.simhash_md5(load(spark, sf_dir, "documents"))
 
 
 @query(

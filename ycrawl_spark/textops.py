@@ -341,6 +341,107 @@ def validate_shape(df: DataFrame, array_cols: list[str]) -> DataFrame:
     return df.withColumn("shape_ok", ok)
 
 
+def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
+                               k: int = 4, text_col: str = "text") -> DataFrame:
+    """MinHash + banded LSH with md5-string permutations — functionally
+    the same shingle→minhash→band→bucket-join as
+    ``minhash_lsh_candidates`` but every hash is ``md5`` (identical in
+    Spark and DuckDB), so the DuckDB oracle can verify values exactly.
+
+    perm_i(s) = md5('p{i}:' || s); signature_i = lexicographic MIN;
+    band hash = md5 of the comma-joined signatures in the band. Docs
+    with fewer than k tokens have no shingles and are excluded (the
+    oracle's unnest drops them naturally)."""
+    rows_per_band = n_perm // bands
+    t = with_tokens(df, text_col).withColumn(
+        "sh", F.array_distinct(shingles_col("tokens", k))
+    ).filter(F.size("sh") > 0)
+    sig = [
+        F.array_min(
+            F.expr(f"transform(sh, s -> md5(concat('p{i}:', s)))")
+        ).alias(f"s{i}")
+        for i in range(n_perm)
+    ]
+    sigs = t.select("doc_id", *sig)
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[
+                F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)
+            ])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.selectExpr(
+        "doc_id",
+        "stack({n}, {args}) as (band_id, band_hash)".format(
+            n=bands,
+            args=", ".join(f"{b}, band_{b}" for b in range(bands)),
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# Token value from the first 4 md5 hex chars via ascii codes — the same
+# arithmetic is expressible in DuckDB, so the polynomial fold below is
+# oracle-checkable bit-for-bit.  Max value ≈ 122·2^24 < 2^31.
+_MD5_TOK_VAL = (
+    "(ascii(substr(md5(x),1,1))*16777216 + ascii(substr(md5(x),2,1))*65536"
+    " + ascii(substr(md5(x),3,1))*256 + ascii(substr(md5(x),4,1)))"
+)
+POLY_B = 1000003
+POLY_M = 2147483647
+
+
+def rolling_fp_poly(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive polynomial rolling fingerprint with exact oracle:
+    fp = fold(tokens, 0, (acc, x) -> (acc·B + v(x)) mod M) where v(x)
+    derives from md5 hex chars. acc < 2^31 and B ≈ 2^20 keep the fold
+    inside int64 (no ANSI overflow); a JVM-side ``aggregate`` — the
+    sequential fold never leaves the executor."""
+    t = with_tokens(df, text_col)
+    return t.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(tokens, CAST(0 AS LONG), "
+            f"(acc, x) -> (acc * {POLY_B} + {_MD5_TOK_VAL}) % {POLY_M})"
+        ).alias("poly_fp"),
+    )
+
+
+def simhash_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash sketch with exact oracle parity: bit i of a
+    token's hash = (hex digit i of md5(token) ≥ 8) ⇔ ascii ≥ 56 (the
+    '89abcdef' range). Bit-majority over tokens, 16 conditional sums —
+    map-side partial agg keeps the shuffle at one row per doc per
+    mapper, same plan shape as the 64-bit ``simhash``."""
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring("h", i + 1, 1)) >= 56, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    val = F.lit(0).cast("long")
+    for i in range(16):
+        val = val + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return agg.select("doc_id", val.alias("simhash16"))
+
+
 def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive document fingerprint: rolling hash-chain of
     token hashes (JVM-side aggregate). Hash-of-(state||token) chaining
