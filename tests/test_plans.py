@@ -1,0 +1,97 @@
+"""Physical-plan audits: the 100 TB story is only real if Catalyst
+actually produces the plans we designed for — filters reach the parquet
+scan, projections prune the read schema, small dims broadcast, top-k
+never global-sorts, and the relational hot path stays inside
+whole-stage codegen. These tests pin that down at sf0.001 (plan shape
+is scale-invariant; AQE may re-plan sizes but not these properties).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ycrawl_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # read schema is pruned to the 4 referenced columns, not the full table
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_quantity" in read_schema
+    assert "l_orderkey" not in read_schema
+    assert "l_comment" not in read_schema
+    # aggregation runs inside whole-stage codegen ("*(n)" markers in
+    # simple mode; with AQE the pre-execution plan hides them, so flip
+    # it off for the probe)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert "*(" in plan_of(spark, "q1_pricing_summary", "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_fx_enrich_uses_broadcast_join(spark):
+    plan = plan_of(spark, "fx_enrich_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_geo_status_double_broadcast(spark):
+    plan = plan_of(spark, "geo_status_normalize")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_seen_set_shape(spark):
+    plan = plan_of(spark, "customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_log_tail_is_topk_not_global_sort(spark):
+    plan = plan_of(spark, "log_tail_by_worker")
+    assert "TakeOrderedAndProject" in plan
+    # a plain Sort + CollectLimit would funnel everything to one task
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_seq_key_data_path_is_range_partitioned(spark):
+    """The global ordinal must come from range-partition + local rank +
+    offset prefix-sum. The customer table itself is exchanged by range
+    (scales out); the only single-partition segment allowed is the
+    offsets frame, which holds one row per partition, never data."""
+    plan = plan_of(spark, "assign_seq_key_customer", "simple")
+    assert "Exchange rangepartitioning" in plan
+    # exactly one Window in the whole plan — the prefix-sum over the
+    # tiny offsets frame; the data path has none (local index comes
+    # from monotonically_increasing_id, not a windowed rank)
+    assert plan.count("Window") == 1
+
+
+def test_weekly_best_partial_aggregation(spark):
+    """Group-min must partial-aggregate map-side (HashAggregate appears
+    both before and after the exchange)."""
+    plan = plan_of(spark, "weekly_best_order")
+    pre_exchange = plan.split("Exchange hashpartitioning")[0]
+    assert "HashAggregate" in pre_exchange
+
+
+@pytest.mark.parametrize("name", ["doc_token_stats", "char_quality",
+                                  "rolling_fp_poly"])
+def test_text_ops_no_python_udf(spark, name):
+    """Text analysis stays JVM-side: no BatchEvalPython / ArrowEval in
+    the plan (higher-order functions, not Python UDFs)."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

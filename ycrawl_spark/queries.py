@@ -1013,6 +1013,87 @@ def url_build_dispatch(spark, sf_dir):
 
 
 @query(
+    "log_tail_by_worker",
+    """
+    SELECT event_id, ts, user_id, props
+    FROM events
+    WHERE event_type = 'error' AND props LIKE '%"k": 6%'
+    ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def log_tail_by_worker(spark, sf_dir):
+    """Per-worker log tail: substring filter + DESC sort + limit
+    (reference /root/reference/Frontend/monitor.py:77-86 filters Cloud
+    Logging lines by VM substring, newest first). Top-k sort — Spark
+    runs it as TakeOrderedAndProject, never a full global sort."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("event_type") == "error") & F.col("props").contains('"k": 6'))
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .select("event_id", "ts", "user_id", "props")
+        .limit(100)
+    )
+
+
+_GEO_STATUS = [
+    ("CHINA", "ASIA_RUNNING"), ("JAPAN", "ASIA_RUNNING"),
+    ("FRANCE", "EU_RUNNING"), ("GERMANY", "EU_RUNNING"),
+    ("UNITED STATES", "US_RUNNING"),
+]
+
+
+@query(
+    "geo_status_normalize",
+    """
+    SELECT s_suppkey, n_name,
+           COALESCE(m.std_status, 'UNKNOWN') AS std_status
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    LEFT JOIN (VALUES {vals}) AS m(name, std_status) ON n_name = m.name
+    """.format(vals=", ".join(f"('{n}', '{s}')" for n, s in _GEO_STATUS)),
+)
+def geo_status_normalize(spark, sf_dir):
+    """Status normalization via a tiny lookup dim — the reference's
+    VM-status CASE dict (/root/reference/Frontend/geoplot.py:24-34) as
+    two broadcast-hash joins (lookup never shuffles the fact side)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    lookup = spark.createDataFrame(_GEO_STATUS, "name string, std_status string")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(lookup), F.col("n_name") == F.col("name"), "left")
+        .select(
+            "s_suppkey", "n_name",
+            F.coalesce("std_status", F.lit("UNKNOWN")).alias("std_status"),
+        )
+    )
+
+
+@query(
+    "route_canonicalize",
+    """
+    SELECT p_partkey,
+           upper(regexp_replace(regexp_replace(regexp_replace(p_name,
+             ' ', '_', 'g'), 'a', '@', 'g'), 'e{2,}', 'E', 'g')) AS canon
+    FROM part
+    """,
+)
+def route_canonicalize(spark, sf_dir):
+    """Chained regexp canonicalization — the reference generates nested
+    REPLACE(...) SQL to normalize route city names
+    (/root/reference/Frontend/adhoc_utils.py:162-178); here chained
+    regexp_replace, all JVM-side."""
+    p = load(spark, sf_dir, "part")
+    canon = F.upper(
+        F.regexp_replace(
+            F.regexp_replace(F.regexp_replace("p_name", " ", "_"), "a", "@"),
+            "e{2,}", "E",
+        )
+    )
+    return p.select("p_partkey", canon.alias("canon"))
+
+
+@query(
     "rollup_order_counts",
     """
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,

@@ -123,19 +123,28 @@ def crawl_shuffle_order(selected: DataFrame, cfg: CrawlConfig, epoch: int) -> Da
 def with_global_pos(df: DataFrame, order_cols: list[str], out_col: str = "pos") -> DataFrame:
     """Dense 0-based global position under ``order_cols`` — scalable.
 
-    Range-partition by the order, rank locally per partition, then add
-    per-partition offsets (count-prefix-sum over the tiny pid dim).
-    Equivalent to a global-window row_number without the single-task
-    sort bottleneck.
+    Range-partition by the order and sort within partitions, then read
+    the partition id and local row index straight out of
+    ``monotonically_increasing_id`` (``pid << 33 | row_index`` in
+    iteration order, which IS the sorted order here) — no window over
+    the data at all. Per-partition offsets are a count-prefix-sum over
+    the tiny pid dim (≤ one row per partition), broadcast back. The
+    data pays exactly one shuffle (the range exchange, reused across
+    the two branches by AQE exchange reuse); the only single-partition
+    window runs over the offsets frame, never over data. Equal keys
+    land in the same range partition, so ordinals under ties match a
+    global-window ``row_number`` up to tie order.
     """
     cols = [F.col(c) for c in order_cols]
-    sorted_df = df.repartitionByRange(*cols).sortWithinPartitions(*cols).withColumn(
-        "_pid", F.spark_partition_id()
+    base = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn("_lr", F.expr(f"_mid & {(1 << 33) - 1}"))
     )
-    wl = W.partitionBy("_pid").orderBy(*cols)
-    local = sorted_df.withColumn("_lr", F.row_number().over(wl))
     offsets = (
-        local.groupBy("_pid")
+        base.groupBy("_pid")
         .agg(F.count("*").alias("_n"))
         .withColumn(
             "_off",
@@ -149,9 +158,9 @@ def with_global_pos(df: DataFrame, order_cols: list[str], out_col: str = "pos") 
         .select("_pid", "_off")
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lr") - 1).cast("long"))
-        .drop("_pid", "_lr", "_off")
+        base.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_pid", "_lr", "_mid", "_off")
     )
 
 
