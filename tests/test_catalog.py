@@ -1,0 +1,51 @@
+"""Catalog facade semantics: atomic append commits, snapshot time
+travel, replace-as-single-snapshot, epoch bookkeeping — the properties
+the crawl's checkpoint/resume story leans on (SURVEY.md §2.1
+sink_checkpoint_meta; Iceberg-equivalent behavior per §7)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ycrawl_spark.catalog import Catalog
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("facts")
+    s1 = t.append(spark.createDataFrame([(1, "a")], "id int, v string"), epoch=1)
+    s2 = t.append(spark.createDataFrame([(2, "b")], "id int, v string"), epoch=2)
+
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+    # time travel to the first commit sees only its rows (fx_fallback
+    # pattern: read the previous snapshot when today's load fails)
+    assert {r["id"] for r in t.read(spark, as_of=s1).collect()} == {1}
+    assert {r["id"] for r in t.read(spark, as_of=s2).collect()} == {1, 2}
+    assert t.latest_epoch() == 2
+
+
+def test_replace_supersedes_all_snapshots(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("state")
+    t.append(spark.createDataFrame([(1,)], "id int"), epoch=1)
+    t.append(spark.createDataFrame([(2,)], "id int"), epoch=2)
+    t.replace(spark.createDataFrame([(9,)], "id int"), epoch=3)
+
+    assert [r["id"] for r in t.read(spark).collect()] == [9]
+    assert len(t.snapshots()) == 1
+    assert t.latest_epoch() == 3
+
+
+def test_append_pdf_no_spark_job(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("counters")
+    t.append_pdf(pd.DataFrame({"host": ["h1", "h2"], "n": [3, 4]}), epoch=1)
+    t.append_pdf(pd.DataFrame({"host": ["h1"], "n": [5]}), epoch=2)
+    got = t.read(spark).groupBy().sum("n").collect()[0][0]
+    assert got == 12
+    assert t.latest_epoch() == 2
+
+
+def test_truncate_then_read_none(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("tmp")
+    t.append(spark.createDataFrame([(1,)], "id int"), epoch=1)
+    t.truncate()
+    assert t.read(spark) is None
+    assert t.latest_epoch() is None

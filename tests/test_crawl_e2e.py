@@ -8,9 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from sim.reference_sim import simulate
-from ycrawl_spark.catalog import Catalog
 from ycrawl_spark.config import CrawlConfig
-from ycrawl_spark.pipeline import crawl_order, run_crawl, seen_sets
+from ycrawl_spark.pipeline import crawl_order, read_parsed, run_crawl, seen_sets
 
 CFG = CrawlConfig(
     n_urls=800,
@@ -49,7 +48,7 @@ def test_crawl_order_and_seen_set_match_simulator(spark, crawl_run):
 
 def test_payload_invariants(spark, crawl_run):
     wd, _ = crawl_run
-    parsed = Catalog(wd).table("parsed").read(spark)
+    parsed = read_parsed(spark, wd)
     n = parsed.count()
     assert n > 0
     assert parsed.filter(~F.col("valid")).count() == 0
@@ -76,3 +75,29 @@ def test_exact_vs_bloom_path_identical(spark, tmp_path_factory):
     run_crawl(spark, small, wd1, use_bloom=False)
     run_crawl(spark, small, wd2, use_bloom=True)
     assert crawl_order(spark, wd1) == crawl_order(spark, wd2)
+
+
+def test_incremental_vs_regenerate_mode_identical(spark, tmp_path_factory, crawl_run):
+    """The incremental frontier (zero steady-state joins) and the
+    reference-mechanics regenerate mode (seen-join per tick, bloom-
+    gated) must produce byte-identical crawl order and seen sets."""
+    wd_inc, _ = crawl_run  # module fixture runs the default (incremental)
+    assert CFG.frontier_mode == "incremental"
+    regen = CrawlConfig(**{**CFG.__dict__, "frontier_mode": "regenerate"})
+    wd_re = str(tmp_path_factory.mktemp("c_regen"))
+    run_crawl(spark, regen, wd_re, use_bloom=True)
+    assert crawl_order(spark, wd_re) == crawl_order(spark, wd_inc)
+    assert seen_sets(spark, wd_re, regen) == seen_sets(spark, wd_inc, CFG)
+
+
+def test_resume_in_regenerate_mode(spark, tmp_path_factory, crawl_run):
+    """Kill/resume determinism holds in regenerate mode too (the bloom-
+    gated per-epoch state join path)."""
+    wd_full, _ = crawl_run
+    regen = CrawlConfig(**{**CFG.__dict__, "frontier_mode": "regenerate"})
+    wd = str(tmp_path_factory.mktemp("c_regen_resume"))
+    partial = CrawlConfig(**{**regen.__dict__, "max_epochs": 2})
+    run_crawl(spark, partial, wd, use_bloom=True)
+    run_crawl(spark, regen, wd, use_bloom=True, resume=True)
+    assert crawl_order(spark, wd) == crawl_order(spark, wd_full)
+    assert seen_sets(spark, wd, regen) == seen_sets(spark, wd_full, CFG)

@@ -73,6 +73,42 @@ def test_session_counts_total_matches_batch_sessionize(spark, events_dir, tmp_pa
     assert diff.count() == 0
 
 
+def test_stateful_seen_filter_dedups_across_microbatches(spark, tmp_path):
+    """The applyInPandasWithState seen-set: only the FIRST occurrence
+    of each key survives, across micro-batch boundaries (state carries
+    between triggers; maxFilesPerTrigger=1 forces two batches)."""
+    d = str(tmp_path / "fetch_log")
+    cols = "key string, canonical_host string, epoch int, attempt int, " \
+           "shuffle_rank long, status string, exetime double"
+
+    def rows(keys, epoch):
+        return [(k, f"h{i % 3}", epoch, 1, i, "ok", 1.0)
+                for i, k in enumerate(keys)]
+
+    spark.createDataFrame(rows([f"k{i}" for i in range(10)], 1), cols) \
+        .coalesce(1).write.parquet(d)
+    spark.createDataFrame(rows([f"k{i}" for i in range(5, 15)], 2), cols) \
+        .coalesce(1).write.mode("append").parquet(d)
+    # FileStreamSource orders files by mtime — pin epoch 1 strictly older
+    import time as _t
+    now = _t.time()
+    for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+        first = spark.read.parquet(f"file://{f}").agg(F.min("epoch")).first()[0]
+        os.utime(f, (now, now - 10 if first == 1 else now))
+
+    stream = streaming.stream_source(spark, d, streaming.FETCH_LOG_SCHEMA,
+                                     per_trigger_files=1)
+    deduped = streaming.stateful_seen_filter(stream, n_buckets=4)
+    name = streaming.run_available_now(deduped, str(tmp_path / "ckpt3"),
+                                       out_mode="append")
+    got = spark.table(name)
+    assert got.count() == 15  # 10 + 10 with 5 overlapping
+    assert got.select("key").distinct().count() == 15
+    # the overlap keys kept their first-epoch row
+    firsts = {r["key"]: r["epoch"] for r in got.collect()}
+    assert all(firsts[f"k{i}"] == 1 for i in range(5, 10))
+
+
 def test_incremental_files_and_host_throughput(spark, events_dir, tmp_path):
     stream = streaming.stream_source(spark, events_dir, streaming.EVENTS_SCHEMA)
     by_type = (

@@ -126,7 +126,15 @@ class Table:
         paths = [p for s in snaps for p in s.files]
         if not paths:
             return None
-        return spark.read.option("basePath", self.path).parquet(*paths)
+        return spark.read.parquet(*paths)
+
+    def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        """Read exactly one committed snapshot's files — the epoch loop
+        re-reads its own just-written delta this way (cheap columnar
+        scan) instead of keeping the wide Python-stage output pinned in
+        the block manager."""
+        snap = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)
+        return spark.read.parquet(*snap.files)
 
     def latest_epoch(self) -> int | None:
         epochs = [s.epoch for s in self.snapshots() if s.epoch is not None]

@@ -34,6 +34,19 @@ class CrawlConfig:
 
     max_epochs: int = 64
 
+    # Frontier maintenance between epochs (identical results, different
+    # physical plans — equivalence is asserted in tests):
+    #   "incremental": the live pending set is carried exactly across
+    #     epochs (unselected ∪ retryable errors) — ZERO joins in the
+    #     steady-state loop; the seen-set membership test (bloom-gated
+    #     state join) runs only where membership is actually unknown:
+    #     resume entry and frontier re-generation/ingestion.
+    #   "regenerate": reference mechanics (Coordinator/main.py:65-68
+    #     rebuilds the todo list from the seen scan every tick) — the
+    #     full pending set re-joins the compacted seen state every
+    #     epoch, Bloom-prefiltered once the state outgrows broadcast.
+    frontier_mode: str = "incremental"
+
     # Seen-set Bloom gating: the Bloom prefilter pays for itself only
     # once the attempted-key set is large enough that shuffling it into
     # the state join dominates the build+broadcast cost. Below the
@@ -43,6 +56,12 @@ class CrawlConfig:
     # (tens of MB), so the exact join wins outright; beyond it the
     # Bloom gates the shuffled join down to maybe-hits only.
     bloom_min_items: int = 1_000_000
+
+    # Largest seen-state (rows) the epoch join will broadcast. Below it
+    # the state ships to executors once (no shuffle of either side);
+    # above it the join shuffles both sides — still cheap and, unlike a
+    # broadcast (a serial driver collect), it scales with executors.
+    state_broadcast_max: int = 100_000
 
     # Durable seen-state compaction cadence: the in-memory state is
     # localCheckpoint'ed every epoch; the parquet snapshot (resume

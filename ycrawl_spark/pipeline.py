@@ -15,6 +15,26 @@ after a kill is trivially deterministic: re-read fetch_log, recompute
 state, continue with the next epoch. That is the checkpoint/lineage
 story the north_rule asks for; the ``checkpoint`` table additionally
 records per-epoch, per-partition counters for observability.
+
+Two frontier modes (cfg.frontier_mode, identical results — asserted in
+tests), see config.py. The default ("incremental") keeps the
+steady-state epoch at FOUR jobs, none of them O(frontier) after epoch 1
+(driver-side fixed cost is what kills N→4N scaling efficiency, measured
+via the phase profile):
+  1. rank localCheckpoint: politeness windows materialized once; both
+     the selected set and next epoch's survivors are cheap filters of
+     it (+ a near-free count on the materialized blocks that
+     right-sizes the fetch stage);
+  2. ONE heavy job: fused fetch+parse+validate (Arrow stage) → single
+     wide ``fetch_log`` append. Epoch totals ride the same job via
+     ``Observation``; validation needs no join — expected metadata
+     rides the frontier (fetch.REF_COLS, joined from the images table
+     once at crawl start);
+  3. per-host lineage counters: tiny columnar scan of the just-written
+     snapshot → driver-side parquet (no Spark write job);
+  4. next pending localCheckpoint: budget losers ∪ retryable errors
+     (frontier columns echoed on ERR rows — fetch.ECHO_COLS — so the
+     retry path is a projection of the epoch delta, not a join).
 """
 
 from __future__ import annotations
@@ -22,12 +42,22 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from . import fetch as fetch_mod
 from . import scheduler, seen as seen_mod, synth
 from .catalog import Catalog
 from .config import CrawlConfig
+
+PARSED_COLS = ["key", "image_id", "epoch", "w", "h", "fmt", "phash", "psnr",
+               "caption_scraped", "valid"]
+
+# Frontier-shaped columns a pending row carries (frontier ∪ REF_COLS).
+PENDING_COLS = [
+    "key", "url", "canonical_host", "host_bucket", "priority", "depth",
+    "discovered_ts", "image_id", "epoch_added", "robots_ok",
+    "w_ref", "h_ref", "fmt_ref", "caption_ref", "phash_ref",
+]
 
 
 @dataclass
@@ -51,12 +81,10 @@ def _agg_from_log(log: DataFrame) -> DataFrame:
 def load_seen_agg(spark: SparkSession, cat: Catalog) -> DataFrame | None:
     """Latest compacted seen-state, reconciled against fetch_log.
 
-    ``seen_agg`` is a compaction of ``_agg_from_log`` maintained
-    incrementally each epoch (so the hot path never re-aggregates the
-    whole log). fetch_log remains the source of truth: if the compact
-    snapshot is missing or stale (crash between the log append and the
-    seen_agg replace), it is rebuilt from the log — resume stays
-    deterministic either way.
+    fetch_log remains the source of truth: if the compact snapshot is
+    missing or stale (crash between the log append and the seen_agg
+    replace), it is rebuilt from the log — resume stays deterministic
+    either way.
     """
     log_t, agg_t = cat.table("fetch_log"), cat.table("seen_agg")
     last_log = log_t.latest_epoch()
@@ -84,94 +112,62 @@ def seen_state(seen_agg: DataFrame | None, cfg: CrawlConfig):
     return excluded, attempts
 
 
-def run_epoch(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
-              pending: DataFrame, politeness: DataFrame, images: DataFrame,
-              epoch: int, use_bloom: bool = True,
-              seen_agg: DataFrame | None = None,
-              n_seen_hint: int = 0,
-              hot_hosts: list[str] | None = None,
-              ) -> tuple[EpochStats, DataFrame | None, DataFrame]:
-    """One epoch. Returns (stats, new_seen_agg, new_pending).
+def apply_seen_state(pending: DataFrame, seen_agg: DataFrame | None,
+                     cfg: CrawlConfig, spark: SparkSession,
+                     use_bloom: bool, n_seen_hint: int,
+                     bloom: seen_mod.Bloom | None = None) -> DataFrame:
+    """THE URL-seen membership test: attach crawl state to frontier rows
+    and drop done/forfeited ones. Bloom-gated (definitely-unseen rows
+    bypass the join; maybe-hits take the exact check) once the state
+    outgrows broadcast. Runs per epoch in "regenerate" mode; at resume
+    entry and frontier ingestion in "incremental" mode."""
+    if seen_agg is None:
+        return pending.withColumn("err_count", F.lit(0).cast("long"))
+    live_bloom = bloom if (
+        use_bloom and n_seen_hint >= max(cfg.bloom_min_items, 1)
+    ) else None
+    out = seen_mod.join_seen_state(
+        pending, seen_agg, "key", live_bloom, spark,
+        broadcast_state=n_seen_hint <= cfg.state_broadcast_max,
+    )
+    return out.filter(
+        (F.col("done") == 0) & (F.col("err_count") < cfg.max_retry)
+    ).drop("done")
 
-    ``pending`` is the shrinking live frontier (rows not yet done or
-    forfeited as of the *previous* epoch — exclusion is monotone, so
-    filtering it again against the fresh ``seen_agg`` yields exactly the
-    full-frontier anti-join result while joining ever fewer rows).
-    ``seen_agg`` is the driver-held compacted seen-state; ``n_seen_hint``
-    an upper bound on attempted keys (cumulative selected count — sizes
-    the Bloom filter without a count() job); ``hot_hosts`` the static
-    salting list (scheduler.hot_hosts_of).
 
-    Job budget per epoch: fused fetch+parse materialization (1), parsed
-    append (1), counters collect (1, drives termination — checkpoint
-    counters go to parquet driver-side), state localCheckpoint (1),
-    pending localCheckpoint (1), plus a durable seen_agg parquet
-    compaction every ``cfg.state_compact_every`` epochs.
-    """
-    candidates = pending
-    if seen_agg is not None:
-        bloom = None
-        if use_bloom and n_seen_hint >= max(cfg.bloom_min_items, 1):
-            # Bloom over *attempted* keys: one state join for maybe-hits
-            # only, instead of anti-join + attempts-join over the full
-            # frontier (two shuffles → at most one, of a small subset).
-            bloom = seen_mod.build_bloom(
-                seen_agg.select("key"), "key", n_items_hint=n_seen_hint
-            )
-        candidates = seen_mod.join_seen_state(
-            candidates, seen_agg, "key", bloom, spark,
-            broadcast_state=n_seen_hint < cfg.bloom_min_items,
-        )
-        candidates = candidates.filter(
-            (F.col("done") == 0) & (F.col("err_count") < cfg.max_retry)
-        ).drop("done")
-    else:
-        candidates = candidates.withColumn("err_count", F.lit(0).cast("long"))
-    # Materialize the filtered frontier once (localCheckpoint): it is
-    # both this epoch's candidate set and the (smaller) pending set for
-    # the next epoch. Eager truncation keeps every later plan this epoch
-    # — and the pending chain across epochs — shallow; with lazy persist
-    # chains instead, driver-side analysis time grows with epoch count
-    # and dwarfs the one extra job this costs (measured via event log).
-    candidates = candidates.localCheckpoint()
-    new_pending = candidates.drop("err_count")
-
-    with_attempt = candidates.withColumn(
-        "attempt", (F.col("err_count") + 1).cast("int")
-    ).drop("err_count")
-    selected = scheduler.select_per_host_budget(with_attempt, politeness, cfg, hot_hosts)
+def _fetch_commit(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
+                  selected: DataFrame, epoch: int, n_cand: int):
+    """Shared epoch tail: fused fetch → single wide append (totals via
+    Observation) → delta read-back → per-host lineage counters.
+    Returns (stats, delta_df | None)."""
     ordered = scheduler.crawl_shuffle_order(selected, cfg, epoch)
+    n_parts = max(1, min(n_cand // 3000 + 1,
+                         4 * spark.sparkContext.defaultParallelism))
+    fp = fetch_mod.fetch_parse_stage(ordered, cfg, epoch, n_parts=n_parts)
+    obs = Observation(f"epoch_{epoch}")
+    fp = fp.observe(
+        obs,
+        F.count(F.lit(1)).alias("fetched"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err"),
+    )
+    snap_id = cat.table("fetch_log").append(fp, epoch=epoch)
+    m = obs.get
+    n_selected = int(m["fetched"] or 0)
+    if n_selected == 0:
+        return EpochStats(epoch, n_cand, 0, 0, 0), None
+    stats = EpochStats(epoch, n_cand, n_selected,
+                       int(m["ok"] or 0), int(m["err"] or 0))
 
-    fp = fetch_mod.fetch_parse_stage(ordered, cfg, epoch).persist()
-    # Per-partition lineage counters (north_rule observability) — the
-    # collect both materializes the fused stage and decides termination;
-    # the tiny counter frame lands in parquet without a Spark write job.
+    delta = cat.table("fetch_log").read_snapshot(spark, snap_id)
     counter_rows = (
-        fp.groupBy("canonical_host")
+        delta.groupBy("canonical_host")
         .agg(
             F.count("*").alias("fetched"),
             F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
             F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err"),
         )
         .collect()
-    )
-    n_selected = sum(r["fetched"] for r in counter_rows)
-    if n_selected == 0:
-        fp.unpersist()
-        return EpochStats(epoch, 0, 0, 0, 0), seen_agg, new_pending
-    n_ok = sum(r["ok"] for r in counter_rows)
-    n_err = sum(r["err"] for r in counter_rows)
-
-    # Few, right-sized output files: the epoch's rows are already cached,
-    # so the writes are narrow coalesced scans of the cache — at cluster
-    # scale file sizing is the table format's job, here it keeps small
-    # epochs from paying 32 task launches + 32 file commits per write.
-    n_files = max(4, min(n_selected // 50_000 + 1,
-                         spark.sparkContext.defaultParallelism))
-    cat.table("fetch_log").append(
-        fp.select("key", "canonical_host", "epoch", "attempt", "shuffle_rank",
-                  "status", "exetime").coalesce(n_files),
-        epoch=epoch,
     )
     cat.table("checkpoint").append_pdf(
         pd.DataFrame(
@@ -181,37 +177,97 @@ def run_epoch(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         ),
         epoch=epoch,
     )
+    return stats, delta
 
-    parsed = fp.filter(F.col("status") == "ok").select(
-        "key", "image_id", "epoch", "w", "h", "fmt", "phash", "psnr",
-        "caption_scraped",
-    )
-    validated = fetch_mod.validate_against_images(parsed, images)
-    cat.table("parsed").append(
-        validated.select(
-            "key", "image_id", "epoch", "w", "h", "fmt", "phash", "psnr",
-            "caption_scraped", "valid",
-        ).coalesce(n_files),
-        epoch=epoch,
-    )
 
-    # Incremental seen-state compaction: old agg ∪ epoch delta,
-    # localCheckpoint'ed (fp is unpersisted below, and shallow state
-    # plans keep driver planning O(1) per epoch); durable parquet
-    # snapshot every state_compact_every epochs — fetch_log remains the
-    # crash-rebuild source of truth.
-    delta = fp.groupBy("key").agg(
+def run_epoch_incremental(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
+                          pending: DataFrame, politeness: DataFrame,
+                          epoch: int, hot_hosts: list[str] | None,
+                          ) -> tuple[EpochStats, DataFrame]:
+    """One epoch, incremental frontier (see module docstring). ``pending``
+    carries exact state: every row is live (not done, not forfeited)
+    with its true ``err_count``."""
+    with_attempt = pending.withColumn(
+        "attempt", (F.col("err_count") + 1).cast("int")
+    )
+    ranked = scheduler.rank_per_host(
+        with_attempt, politeness, cfg, hot_hosts
+    ).localCheckpoint()
+    n_cand = ranked.count()
+    if n_cand == 0:
+        return EpochStats(epoch, 0, 0, 0, 0), pending
+
+    sel_pred = scheduler.is_selected()
+    selected = ranked.filter(sel_pred).drop("max_per_epoch", "err_count")
+    stats, delta = _fetch_commit(spark, cat, cfg, selected, epoch, n_cand)
+    if delta is None:
+        return stats, pending
+
+    # Next pending = budget losers (state unchanged) ∪ retryable errors
+    # (err_count = the attempt that just failed; frontier columns come
+    # from the ERR echo — a projection, not a join).
+    losers = ranked.filter(~sel_pred).select(*PENDING_COLS, "err_count")
+    retry = (
+        delta.filter(
+            (F.col("status") == "ERR") & (F.col("attempt") < cfg.max_retry)
+        )
+        .withColumn("robots_ok", F.lit(True))
+        .withColumn("err_count", F.col("attempt").cast("long"))
+        .select(*PENDING_COLS, "err_count")
+    )
+    new_pending = losers.unionByName(retry).localCheckpoint()
+    return stats, new_pending
+
+
+def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
+                         pending: DataFrame, politeness: DataFrame,
+                         epoch: int, use_bloom: bool,
+                         seen_agg: DataFrame | None, n_seen_hint: int,
+                         hot_hosts: list[str] | None,
+                         bloom: seen_mod.Bloom | None,
+                         ) -> tuple[EpochStats, DataFrame | None, DataFrame]:
+    """One epoch, reference mechanics: the (monotonically shrinking)
+    pending set re-takes the seen-membership test every tick
+    (/root/reference/Coordinator/main.py:65-68), Bloom-gated at scale.
+    Exclusion is monotone, so filtering the previous pending against
+    the fresh state equals the full-frontier anti-join result."""
+    candidates = apply_seen_state(
+        pending.drop("err_count"), seen_agg, cfg, spark, use_bloom,
+        n_seen_hint, bloom,
+    ).localCheckpoint()
+    n_cand = candidates.count()
+    new_pending = candidates
+    if n_cand == 0:
+        return EpochStats(epoch, 0, 0, 0, 0), seen_agg, new_pending
+
+    with_attempt = candidates.withColumn(
+        "attempt", (F.col("err_count") + 1).cast("int")
+    ).drop("err_count")
+    selected = scheduler.select_per_host_budget(
+        with_attempt, politeness, cfg, hot_hosts
+    )
+    stats, delta = _fetch_commit(spark, cat, cfg, selected, epoch, n_cand)
+    if delta is None:
+        return stats, seen_agg, new_pending
+
+    # Incremental seen-state compaction: old agg ∪ epoch delta.
+    delta_agg = delta.groupBy("key").agg(
         F.max(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("done"),
         F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err_count"),
     )
     merged = (
-        delta if seen_agg is None else seen_agg.unionByName(delta)
+        delta_agg if seen_agg is None else seen_agg.unionByName(delta_agg)
         .groupBy("key")
         .agg(F.max("done").alias("done"), F.sum("err_count").alias("err_count"))
     )
     new_agg = merged.localCheckpoint()
-    fp.unpersist()
-    return EpochStats(epoch, -1, n_selected, n_ok, n_err), new_agg, new_pending
+
+    # Keep the driver-held Bloom current with O(delta) work, never an
+    # O(seen) rebuild.
+    if bloom is not None:
+        seen_mod.add_keys_to_bloom(bloom, delta.select("key"), "key")
+
+    return stats, new_agg, new_pending
 
 
 def run_crawl(spark: SparkSession, cfg: CrawlConfig, workdir: str,
@@ -221,17 +277,19 @@ def run_crawl(spark: SparkSession, cfg: CrawlConfig, workdir: str,
 
     AQE is switched off for the duration of the loop: every join and
     shuffle here is explicitly sized (broadcast hints, pinned fetch
-    partitioning, coalesced writes), so adaptive re-planning only adds
+    partitioning, right-sized writes), so adaptive re-planning only adds
     driver latency to each of the many small per-epoch actions —
     measurable as inter-job gaps in the event log. Restored on exit so
     the analytic query surface keeps AQE's skew/coalesce benefits.
     """
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return _run_crawl_inner(spark, cfg, workdir, use_bloom, resume)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
 
 
 def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
@@ -240,17 +298,25 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
     frontier_t = cat.table("frontier")
     if frontier_t.read(spark) is None:
         frontier_t.append(synth.frontier_df(spark, cfg), epoch=0)
-    frontier = frontier_t.read(spark).persist()
+    frontier = frontier_t.read(spark).filter(F.col("robots_ok")).persist()
 
     images_t = cat.table("images")
     if images_t.read(spark) is None:
         images_t.append(synth.images_df(spark, cfg), epoch=0)
-    # Only the metadata columns feed the validation join (bytes is
-    # pruned at the parquet scan); cache the dim once instead of
-    # re-scanning the table every epoch.
-    images = images_t.read(spark).select(
-        "image_id", "w", "h", "fmt", "caption", "phash"
-    ).persist()
+    # Expected metadata joins onto the frontier ONCE here (bytes pruned
+    # at the parquet scan; phash as string — see fetch.REF_COLS) and
+    # rides every epoch's pending set, so per-row validation inside the
+    # fetch stage needs no join at all. At cluster scale both tables
+    # bucket by image_id, making this single join co-located too.
+    images_ref = images_t.read(spark).select(
+        F.col("image_id"),
+        F.col("w").alias("w_ref"),
+        F.col("h").alias("h_ref"),
+        F.col("fmt").alias("fmt_ref"),
+        F.col("caption").alias("caption_ref"),
+        F.col("phash").cast("string").alias("phash_ref"),
+    )
+    pending = frontier.join(images_ref, "image_id", "left").select(*PENDING_COLS)
 
     politeness = spark.createDataFrame(synth.politeness_pdf(cfg)).persist()
 
@@ -268,35 +334,87 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
         seen_agg = seen_agg.localCheckpoint()
         n_seen_hint = seen_agg.count()
 
-    hot_hosts = scheduler.hot_hosts_of(frontier.filter(F.col("robots_ok")), cfg)
-    pending = frontier.filter(F.col("robots_ok"))
+    # Driver-held incremental Bloom over attempted keys: pre-sized once
+    # (~2 attempts/URL), fed O(delta) per epoch in regenerate mode, or
+    # rebuilt once from the compacted state where membership testing
+    # actually happens (resume entry / regenerate loop).
+    incremental = cfg.frontier_mode != "regenerate"
+    bloom = None
+    if use_bloom and (not incremental or seen_agg is not None):
+        bloom = seen_mod.Bloom.sized_for(max(2 * cfg.n_urls, 1024))
+        if seen_agg is not None and n_seen_hint > 0:
+            seen_mod.add_keys_to_bloom(bloom, seen_agg.select("key"), "key")
+
+    # The URL-seen membership test at the frontier boundary: in
+    # incremental mode it runs here exactly once per (re)entry — fresh
+    # crawls skip it (state empty), resumes take the bloom-gated join.
+    if incremental:
+        pending = apply_seen_state(
+            pending, seen_agg, cfg, spark, use_bloom, n_seen_hint, bloom,
+        )
+
+    hot_hosts = scheduler.hot_hosts_of(frontier, cfg)
+    # Pending-size estimate drives per-epoch shuffle sizing: tail retry
+    # epochs run dozens of rows — 32-partition window shuffles there are
+    # pure task-launch overhead (16 scheduling waves on a 2-core run).
+    # AQE would coalesce these adaptively; with it off in the loop, the
+    # driver does the arithmetic itself from the stats it already has.
+    n_pending_est = frontier.count()  # cheap: frontier is persisted
+    max_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     stats: list[EpochStats] = []
     for epoch in range(start_epoch, cfg.max_epochs + 1):
-        st, seen_agg, pending = run_epoch(
-            spark, cat, cfg, pending, politeness, images, epoch, use_bloom,
-            seen_agg=seen_agg, n_seen_hint=n_seen_hint, hot_hosts=hot_hosts,
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(2, min(n_pending_est // 20_000 + 1, max_shuffle))),
         )
+        if incremental:
+            st, pending = run_epoch_incremental(
+                spark, cat, cfg, pending, politeness, epoch, hot_hosts,
+            )
+        else:
+            st, seen_agg, pending = run_epoch_regenerate(
+                spark, cat, cfg, pending, politeness, epoch, use_bloom,
+                seen_agg, n_seen_hint, hot_hosts, bloom,
+            )
         stats.append(st)
         if st.n_selected == 0:
             break
         n_seen_hint += st.n_selected
-        # Durable state snapshot every K epochs (state itself is already
-        # materialized via localCheckpoint; this is the resume fast-path).
-        if epoch % cfg.state_compact_every == 0 and seen_agg is not None:
+        # next pending ≤ losers + retryable errors (exact in incremental
+        # mode, an upper bound in regenerate mode)
+        n_pending_est = max(
+            st.n_candidates - st.n_selected + st.n_err, 1
+        )
+        # Durable state snapshot every K epochs (resume fast-path). In
+        # incremental mode the loop never reads seen_agg, so no snapshot
+        # jobs run here — fetch_log is the single source of truth and
+        # load_seen_agg rebuilds the compact state exactly once at the
+        # next (re)entry.
+        if not incremental and seen_agg is not None and (
+            epoch % cfg.state_compact_every == 0
+        ):
             cat.table("seen_agg").replace(seen_agg, epoch=epoch)
     # Final durable state snapshot so a warm resume needs no log rebuild
     # (labelled with the log's latest epoch — the staleness check in
     # load_seen_agg compares against fetch_log).
     last_log = cat.table("fetch_log").latest_epoch()
-    if seen_agg is not None and last_log is not None and (
+    if not incremental and seen_agg is not None and last_log is not None and (
         cat.table("seen_agg").latest_epoch() != last_log
     ):
         cat.table("seen_agg").replace(seen_agg, epoch=last_log)
-    images.unpersist()
     frontier.unpersist()
     politeness.unpersist()
     return stats
+
+
+def read_parsed(spark: SparkSession, workdir: str) -> DataFrame:
+    """The parsed/validated view over the wide fetch_log: ok rows with
+    their decode features + per-row ``valid`` verdict. A narrow
+    projection — parquet column pruning keeps it as cheap as the
+    separate table it replaced (one write per epoch instead of two)."""
+    log = Catalog(workdir).table("fetch_log").read(spark)
+    return log.filter(F.col("status") == "ok").select(*PARSED_COLS)
 
 
 def crawl_order(spark: SparkSession, workdir: str) -> list[str]:

@@ -1094,6 +1094,39 @@ def route_canonicalize(spark, sf_dir):
 
 
 @query(
+    "msg_pivot_groups",
+    """
+    SELECT o_orderpriority,
+           string_agg(line, '; ' ORDER BY line) AS bubble, COUNT(*) AS n
+    FROM (
+      SELECT o_orderpriority,
+             printf('%s: %d', o_orderstatus, CAST(o_orderkey % 100 AS INT)) AS line
+      FROM orders WHERE o_totalprice > 500000
+    ) GROUP BY o_orderpriority
+    """,
+)
+def msg_pivot_groups(spark, sf_dir):
+    """Rows grouped under title bubbles — the reference's LINE-message
+    pivot (/root/reference/DataProcessor/linehelper.py:7-65,
+    reporting.py:113-116): collect_list per group, deterministically
+    sorted, string-joined."""
+    o = load(spark, sf_dir, "orders")
+    line = F.format_string(
+        "%s: %d", F.col("o_orderstatus"),
+        F.pmod(F.col("o_orderkey"), F.lit(100)).cast("int"),
+    )
+    return (
+        o.filter(F.col("o_totalprice") > 500000)
+        .select("o_orderpriority", line.alias("line"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("line")), "; ").alias("bubble"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
     "rollup_order_counts",
     """
     SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
@@ -1295,9 +1328,7 @@ def crawl_e2e_parsed(spark, sf_dir):
     wd = tempfile.mkdtemp(prefix="ycrawl_q_")
     cfg = _tiny_cfg()
     pipeline.run_crawl(spark, cfg, wd, use_bloom=True)
-    from .catalog import Catalog
-
-    return Catalog(wd).table("parsed").read(spark)
+    return pipeline.read_parsed(spark, wd)
 
 
 @query("multimodal_image_features")

@@ -46,15 +46,21 @@ def hot_hosts_of(frontier: DataFrame, cfg: CrawlConfig) -> list[str]:
     ]
 
 
-def select_per_host_budget(candidates: DataFrame, politeness: DataFrame,
-                           cfg: CrawlConfig,
-                           hot_hosts: list[str] | None = None) -> DataFrame:
-    """Top-``max_per_epoch`` candidates per host this epoch.
+def rank_per_host(candidates: DataFrame, politeness: DataFrame,
+                  cfg: CrawlConfig,
+                  hot_hosts: list[str] | None = None) -> DataFrame:
+    """Rank every candidate within its host's politeness budget WITHOUT
+    dropping the losers: returns all input rows plus ``host_rank``
+    (null for rows pruned in phase 1 — they can't be in the host's
+    top-B) and ``max_per_epoch``. ``host_rank <= max_per_epoch`` (null-
+    false) is the selection predicate; the complement is exactly the
+    rows that stay pending — which lets the epoch loop maintain the
+    live frontier incrementally instead of re-running a seen-set join
+    every epoch.
 
     ``politeness``: (canonical_host, max_per_epoch, ...) small dim →
     broadcast join. ``hot_hosts``: precomputed salting list (see
     ``hot_hosts_of``); None → detect dynamically from the candidates.
-    Returns candidates + ``host_rank`` (1-based).
     """
     withb = candidates.join(
         F.broadcast(politeness.select("canonical_host", "max_per_epoch")),
@@ -86,21 +92,41 @@ def select_per_host_budget(candidates: DataFrame, politeness: DataFrame,
         ).otherwise(F.lit(0)),
     )
 
-    # Phase 1: local prune within (host, salt) — keeps a superset of the
-    # true per-host top-B, bounded at B rows per salt group.
+    # Phase 1: local prune within (host, salt) — per-salt top-B is a
+    # superset of the true per-host top-B; rows beyond it are certain
+    # losers and bypass phase 2 entirely (no second shuffle for them).
     w1 = W.partitionBy("canonical_host", "_salt").orderBy(*_order())
-    pruned = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col("max_per_epoch"))
-        .drop("_r1", "_hot")
+    tagged = salted.withColumn("_r1", F.row_number().over(w1)).drop("_hot")
+    losers = tagged.filter(F.col("_r1") > F.col("max_per_epoch")).drop(
+        "_r1", "_salt"
+    ).withColumn("host_rank", F.lit(None).cast("int"))
+
+    # Phase 2: exact per-host rank over the (bounded) survivors.
+    w2 = W.partitionBy("canonical_host").orderBy(*_order())
+    ranked = (
+        tagged.filter(F.col("_r1") <= F.col("max_per_epoch"))
+        .drop("_r1", "_salt")
+        .withColumn("host_rank", F.row_number().over(w2))
+    )
+    return ranked.unionByName(losers)
+
+
+def is_selected():
+    """Selection predicate over rank_per_host output (null-safe)."""
+    return F.col("host_rank").isNotNull() & (
+        F.col("host_rank") <= F.col("max_per_epoch")
     )
 
-    # Phase 2: exact per-host rank over the pruned set.
-    w2 = W.partitionBy("canonical_host").orderBy(*_order())
+
+def select_per_host_budget(candidates: DataFrame, politeness: DataFrame,
+                           cfg: CrawlConfig,
+                           hot_hosts: list[str] | None = None) -> DataFrame:
+    """Top-``max_per_epoch`` candidates per host this epoch — the
+    filtered view of ``rank_per_host`` (identical selected set)."""
     return (
-        pruned.withColumn("host_rank", F.row_number().over(w2))
-        .filter(F.col("host_rank") <= F.col("max_per_epoch"))
-        .drop("_salt", "max_per_epoch")
+        rank_per_host(candidates, politeness, cfg, hot_hosts)
+        .filter(is_selected())
+        .drop("max_per_epoch")
     )
 
 

@@ -78,13 +78,15 @@ class Bloom:
         return cls(m_bits, k, np.frombuffer(data, dtype=np.uint64).copy())
 
 
-def build_bloom(seen_keys: DataFrame, key_col: str, n_items_hint: int, n_shards: int = 32,
-                fpp: float = 0.01) -> Bloom:
-    """Distributed Bloom build: shard by key hash, per-shard grouped
-    aggregation produces one bits-row each, driver OR-merges (bytes are
-    small: shards of one filter, not one filter per shard)."""
-    proto = Bloom.sized_for(max(n_items_hint, 1), fpp)
-    m, k = proto.m, proto.k
+def add_keys_to_bloom(bloom: Bloom, keys_df: DataFrame, key_col: str,
+                      n_shards: int = 32) -> None:
+    """OR a DataFrame of keys into an existing (pre-sized) Bloom —
+    distributed: shard by key hash, per-shard grouped aggregation yields
+    one bits-row each, driver OR-merges. This is the INCREMENTAL path:
+    per epoch only the delta's keys are hashed (O(delta)), instead of
+    rebuilding the filter over the whole seen set (O(seen) per epoch →
+    quadratic over a crawl)."""
+    m, k = bloom.m, bloom.k
 
     def shard_agg(pdf: pd.DataFrame) -> pd.DataFrame:
         b = Bloom(m, k)
@@ -92,15 +94,23 @@ def build_bloom(seen_keys: DataFrame, key_col: str, n_items_hint: int, n_shards:
         return pd.DataFrame({"bits": [b.to_bytes()]})
 
     shards = (
-        seen_keys.select(key_col)
+        keys_df.select(key_col)
         .withColumn("_shard", F.pmod(F.xxhash64(key_col), F.lit(n_shards)))
         .groupBy("_shard")
         .applyInPandas(shard_agg, schema="bits binary")
         .collect()
     )
-    merged = Bloom(m, k)
     for r in shards:
-        merged = merged.merge(Bloom.from_bytes(m, k, bytes(r["bits"])))
+        bloom.words |= np.frombuffer(bytes(r["bits"]), dtype=np.uint64)
+
+
+def build_bloom(seen_keys: DataFrame, key_col: str, n_items_hint: int, n_shards: int = 32,
+                fpp: float = 0.01) -> Bloom:
+    """Distributed one-shot Bloom build (sized from the hint) — used on
+    resume to reconstruct the filter from existing state; the epoch loop
+    uses ``add_keys_to_bloom`` incrementally."""
+    merged = Bloom.sized_for(max(n_items_hint, 1), fpp)
+    add_keys_to_bloom(merged, seen_keys, key_col, n_shards)
     return merged
 
 

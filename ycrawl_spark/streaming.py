@@ -93,6 +93,52 @@ def host_throughput(fetch_log: DataFrame) -> DataFrame:
     )
 
 
+SEEN_OUT_SCHEMA = (
+    "key string, canonical_host string, epoch int, attempt int, "
+    "shuffle_rank long, status string, exetime double"
+)
+SEEN_STATE_SCHEMA = "seen array<string>"
+
+
+def stateful_seen_filter(fetch_log: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Streaming URL-seen dedup: emit only the FIRST occurrence of each
+    key across all micro-batches — the crawl's seen-set
+    (/root/reference/Coordinator/main.py:68 anti-join semantics) as a
+    custom stateful operator (``applyInPandasWithState``).
+
+    State is sharded by ``xxhash64(key) % n_buckets`` rather than keyed
+    per-URL: per-key state groups at 10^10 keys would mean 10^10 state
+    rows and a shuffle to match; per-bucket groups keep state rows
+    bounded by ``n_buckets`` per executor and the shuffle fan-in fixed.
+    At real frontier scale the in-state set per bucket becomes a Bloom
+    shard (ycrawl_spark.seen) — the plumbing is identical.
+    """
+    import pandas as pd
+
+    def dedup(bucket_key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        outs = []
+        for pdf in pdfs:
+            fresh = pdf[~pdf["key"].isin(seen) & ~pdf["key"].duplicated()]
+            seen.update(fresh["key"].tolist())
+            outs.append(fresh)
+        state.update((list(seen),))
+        out = pd.concat(outs) if outs else pd.DataFrame()
+        yield out[["key", "canonical_host", "epoch", "attempt",
+                   "shuffle_rank", "status", "exetime"]]
+
+    bucketed = fetch_log.withColumn(
+        "bucket", F.pmod(F.xxhash64("key"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        dedup,
+        outputStructType=SEEN_OUT_SCHEMA,
+        stateStructType=SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       out_mode: str = "append",
                       table_name: str | None = None) -> str:
