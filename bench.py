@@ -64,6 +64,10 @@ def _force(df) -> int:
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     from ycrawl_spark.queries import QUERIES
 
+    # Warm the JVM/codegen/parquet-reader path once so the first query's
+    # number is the query, not session warmup.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)

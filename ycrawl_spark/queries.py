@@ -706,6 +706,86 @@ def _minhash_md5_oracle(n_perm: int = 16, bands: int = 4, k: int = 4) -> str:
     """
 
 
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tokens) - 3, 0) + 1),
+               i -> array_to_string(tokens[i:i+3], ' '))) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+             COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 4) AS jaccard
+    FROM common WHERE n_common >= 1
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard for candidate pairs: shingle-bucket
+    self-join counts intersections; |A∪B| = |A|+|B|−|A∩B| from
+    per-doc shingle counts — no array materialization on the join,
+    the scalable formulation for near-dup scoring."""
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        textops.with_tokens(docs)
+        .select("doc_id",
+                F.array_distinct(textops.shingles_col("tokens", 4)).alias("shingles"))
+        .select("doc_id", F.size("shingles").alias("n_sh"),
+                F.explode("shingles").alias("s"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.first("a.n_sh").alias("na"), F.first("b.n_sh").alias("nb"),
+             F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 1)
+    )
+    return common.select(
+        "doc_a", "doc_b",
+        F.round(F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")), 4).alias("jaccard"),
+    )
+
+
+@query(
+    "watchdog_stale_window",
+    """
+    SELECT user_id, ts, gap_us FROM (
+      SELECT user_id, ts,
+             date_diff('microsecond', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+      FROM events)
+    WHERE gap_us > 1800 * 1000000::BIGINT AND gap_us < 3600 * 1000000::BIGINT
+    """,
+)
+def watchdog_stale_window(spark, sf_dir):
+    """Time-window watchdog predicate: events whose gap since the
+    user's previous event falls in (1800, 3600) seconds — the
+    reference's restart-DataProcessor staleness check
+    (/root/reference/Frontend/functions.py:74-86) as a lag window."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("gap_us", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+        .filter((F.col("gap_us") > 1800 * 1_000_000)
+                & (F.col("gap_us") < 3600 * 1_000_000))
+        .select("user_id", "ts", "gap_us")
+    )
+
+
 @query("minhash_md5_lsh", _minhash_md5_oracle())
 def minhash_md5_lsh(spark, sf_dir):
     """MinHash+LSH candidate pairs with md5 permutations — same
