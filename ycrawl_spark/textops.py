@@ -27,6 +27,20 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", F.split(F.col(text_col), " "))
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Ensure at least default parallelism before heavy per-row compute.
+
+    At warehouse scale the file layout provides the splits; a small
+    local parquet (one row group) arrives as ONE partition, which would
+    run a sketch builder single-threaded. The repartition shuffles only
+    the raw text — orders of magnitude cheaper than the compute it
+    parallelizes — and is a no-op when the source is already split."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting + lexical-diversity quality signals — all built-in."""
     t = with_tokens(df, text_col)
@@ -120,7 +134,7 @@ def ngram_shared_pairs(df: DataFrame, k: int = 4, min_common: int = 1,
     pre-filter; full Jaccard on candidates only.
     """
     sh = (
-        with_tokens(df, text_col)
+        with_tokens(fan_out(df), text_col)
         .select("doc_id", F.explode(F.array_distinct(shingles_col("tokens", k))).alias("sh"))
     )
     a = sh.alias("a")
@@ -158,7 +172,7 @@ def minhash_signatures(df: DataFrame, n_perm: int = 16, k: int = 4,
                        text_col: str = "text") -> DataFrame:
     """MinHash signatures fully JVM-side: perm_i(x) = xxhash64(x||':pi'),
     signature_i = min over shingles. No Python UDF at all."""
-    t = with_tokens(df, text_col).withColumn(
+    t = with_tokens(fan_out(df), text_col).withColumn(
         "sh", F.array_distinct(shingles_col("tokens", k))
     )
     sig = F.array(
@@ -219,7 +233,7 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     row per doc per mapper. Replaces a pandas UDF whose per-token
     Python loop was ~10× slower and Arrow-transferred every text.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select("doc_id", F.xxhash64("tok").alias("h"))
     votes = [
@@ -353,7 +367,7 @@ def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
     with fewer than k tokens have no shingles and are excluded (the
     oracle's unnest drops them naturally)."""
     rows_per_band = n_perm // bands
-    t = with_tokens(df, text_col).withColumn(
+    t = with_tokens(fan_out(df), text_col).withColumn(
         "sh", F.array_distinct(shingles_col("tokens", k))
     ).filter(F.size("sh") > 0)
     sig = [
@@ -426,7 +440,7 @@ def simhash_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
     '89abcdef' range). Bit-majority over tokens, 16 conditional sums —
     map-side partial agg keeps the shuffle at one row per doc per
     mapper, same plan shape as the 64-bit ``simhash``."""
-    tok = df.select(
+    tok = fan_out(df).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.md5("tok"))
     votes = [
