@@ -9,6 +9,7 @@ is scale-invariant; AQE may re-plan sizes but not these properties).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from ycrawl_spark.queries import QUERIES
 
@@ -95,3 +96,32 @@ def test_text_ops_no_python_udf(spark, name):
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_incremental_epoch_plan_has_no_join(spark):
+    """The steady-state epoch plan (politeness ranking over the carried
+    pending set) must contain NO join of any kind — the zero-joins-per-
+    epoch claim in pipeline.py, pinned. The only join-ish node allowed
+    is the broadcast of the tiny politeness dim."""
+    from ycrawl_spark import scheduler, synth
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=500, n_hosts=8)
+    pending = (
+        spark.createDataFrame(synth.frontier_pdf(cfg))
+        .filter("robots_ok")
+        .withColumn("err_count", F.lit(0).cast("long"))
+        .withColumn("attempt", F.lit(1).cast("int"))
+    )
+    pol = spark.createDataFrame(synth.politeness_pdf(cfg))
+    ranked = scheduler.rank_per_host(pending, pol, cfg, hot_hosts=[])
+    plan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "simple"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # politeness attaches as a broadcast join — the only join allowed
+    # (appears twice: the losers/survivors union duplicates the subtree;
+    # AQE reuses the broadcast exchange at runtime)
+    assert 1 <= plan.count("BroadcastHashJoin") <= 2
