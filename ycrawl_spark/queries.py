@@ -1418,3 +1418,199 @@ def multimodal_image_features(spark, sf_dir):
 
     cfg = _tiny_cfg()
     return multimodal.image_features(synth.images_df(spark, cfg))
+
+
+# ─────────────── SURVEY §2 gap closure (round-1 tail) ───────────────
+
+
+@query(
+    "retry_threshold_gate",
+    """
+    SELECT user_id % 8 AS bucket, COUNT(*) AS pending
+    FROM events WHERE event_type = 'view'
+    GROUP BY 1 HAVING COUNT(*) >= 100
+    """,
+)
+def retry_threshold_gate(spark, sf_dir):
+    """Per-shard pending-count gate: a worker shard is scheduled only if
+    its remaining work meets the threshold (reference filter_retry_
+    threshold, main.py:42-50 retry-threshold VM gating)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(F.pmod(F.col("user_id"), F.lit(8)).alias("bucket"))
+        .agg(F.count("*").alias("pending"))
+        .filter(F.col("pending") >= 100)
+    )
+
+
+@query(
+    "coalesce_error_frames",
+    """
+    SELECT 'Runtime' AS type, event_id, user_id FROM events WHERE event_type = 'error'
+    UNION ALL
+    SELECT 'Exception' AS type, event_id, user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def coalesce_error_frames(spark, sf_dir):
+    """Tag two error families and concat (reference coalesce_errors,
+    reporting.py:32-39: Runtime vs Exception frames unioned)."""
+    e = load(spark, sf_dir, "events")
+    runtime = (e.filter(F.col("event_type") == "error")
+               .select(F.lit("Runtime").alias("type"), "event_id", "user_id"))
+    exc = (e.filter(F.col("event_type") == "signup")
+           .select(F.lit("Exception").alias("type"), "event_id", "user_id"))
+    return runtime.unionByName(exc)
+
+
+@query(
+    "quarantine_errors",
+    """
+    SELECT event_id, user_id, props AS errm FROM events
+    WHERE event_type = 'error' AND NOT contains(props, '"k": 7')
+    """,
+)
+def quarantine_errors(spark, sf_dir):
+    """Quarantine routing with benign-pattern exclusion (reference
+    DataProcessor/main.py:100-109,160-164: exception rows accumulated,
+    'sold out' excluded from review copies)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "error")
+        .filter(~F.col("props").contains('"k": 7'))
+        .select("event_id", "user_id", F.col("props").alias("errm"))
+    )
+
+
+@query(
+    "qr_cross_stride_urls",
+    """
+    SELECT r1.r_name AS origin, r2.r_name AS dest, g.i AS stride_idx,
+           CAST(DATE '1995-01-01' + g.i * 7 AS DATE) AS dep_date,
+           CASE WHEN r1.r_name < r2.r_name THEN 'return' ELSE 'multicity' END AS trip_type,
+           CONCAT('https://q.example/book?o=', r1.r_name, '&d=', r2.r_name,
+                  '&t=', CAST(DATE '1995-01-01' + g.i * 7 AS DATE)) AS url
+    FROM region r1
+    CROSS JOIN region r2
+    CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(0, 8)) g
+    WHERE r1.r_name <> r2.r_name
+    """,
+)
+def qr_cross_stride_urls(spark, sf_dir):
+    """Multi-way cross-product frontier with 7-day date stride and
+    return-vs-multicity URL template dispatch (reference gen_cross_qr
+    Coordinator/main.py:46-55, qr_date_stride config.py:33-35,
+    proj_url_qr url_builder.py:5-24)."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    o = r.withColumnRenamed("r_name", "origin")
+    d = r.withColumnRenamed("r_name", "dest")
+    g = spark.range(0, 8).select(F.col("id").cast("int").alias("stride_idx"))
+    dep = F.date_add(F.lit("1995-01-01").cast("date"), F.col("stride_idx") * 7)
+    return (
+        o.crossJoin(d).crossJoin(g)
+        .filter(F.col("origin") != F.col("dest"))
+        .select(
+            "origin", "dest", "stride_idx",
+            dep.alias("dep_date"),
+            F.when(F.col("origin") < F.col("dest"), F.lit("return"))
+             .otherwise(F.lit("multicity")).alias("trip_type"),
+            F.concat(
+                F.lit("https://q.example/book?o="), F.col("origin"),
+                F.lit("&d="), F.col("dest"), F.lit("&t="), dep.cast("string"),
+            ).alias("url"),
+        )
+    )
+
+
+@query(
+    "calendar_min_marker",
+    """
+    SELECT p_partkey, p_brand, p_retailprice,
+           (p_retailprice = MIN(p_retailprice) OVER (PARTITION BY p_brand)) AS is_min
+    FROM part
+    """,
+)
+def calendar_min_marker(spark, sf_dir):
+    """Min-marker annotation: every row flagged against its group min
+    (reference q_hotel_calendar min-join, historyplot.py:93-95 — the
+    pandas self-merge becomes a window min, no join, one shuffle)."""
+    p = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand")
+    return p.select(
+        "p_partkey", "p_brand", "p_retailprice",
+        (F.col("p_retailprice") == F.min("p_retailprice").over(w)).alias("is_min"),
+    )
+
+
+@query(
+    "trend_selected_vs_alt",
+    """
+    WITH both_t AS (
+      SELECT CASE WHEN regexp_matches(o_orderpriority, '(?i)urgent')
+                  THEN 'Selected' ELSE 'Alternatives' END AS ftype,
+             CAST(o_orderdate AS DATE) AS d, o_totalprice
+      FROM orders)
+    SELECT ftype, d,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS min_price
+    FROM both_t GROUP BY ftype, d
+    """,
+)
+def trend_selected_vs_alt(spark, sf_dir):
+    """CTE + CASE-regex classification + group-min trend (reference
+    q_flight_trend, historyplot.py:216-240: WITH history/live/both,
+    REGEXP_CONTAINS → Selected/Alternatives, group min)."""
+    o = load(spark, sf_dir, "orders")
+    both = o.select(
+        F.when(F.col("o_orderpriority").rlike("(?i)urgent"), F.lit("Selected"))
+         .otherwise(F.lit("Alternatives")).alias("ftype"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_totalprice",
+    )
+    return both.groupBy("ftype", "d").agg(
+        F.min(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("min_price")
+    )
+
+
+@query(
+    "scan_files_accounting",
+    """
+    SELECT 'lineitem.parquet' AS file, COUNT(*) AS n_rows FROM lineitem
+    """,
+)
+def scan_files_accounting(spark, sf_dir):
+    """Scan cost accounting: rows per input file from the metadata
+    column (reference q_bytes_dryrun total_bytes_processed metering,
+    historyplot.py:62,83,120; our analog is per-file scan accounting —
+    the oracle's single-file testdata layout makes it SQL-checkable)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file"))
+        .groupBy("file")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "fx_snapshot_fallback",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n FROM orders
+    WHERE o_orderdate < DATE '1997-01-01' GROUP BY o_orderpriority
+    """,
+)
+def fx_snapshot_fallback(spark, sf_dir):
+    """Dim-table fallback to the previous committed snapshot (reference
+    fx_fallback, reporting.py:53-56: on fetch failure read prior rates)
+    via catalog time travel: two snapshots appended, read as-of the
+    first — Iceberg `VERSION AS OF` semantics on the manifest catalog."""
+    from .catalog import Table
+
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+    day1 = (o.filter(F.col("o_orderdate") < cut)
+            .groupBy("o_orderpriority").agg(F.count("*").alias("n")))
+    day2 = (o.filter(F.col("o_orderdate") >= cut)
+            .groupBy("o_orderpriority").agg(F.count("*").alias("n")))
+    t = Table(tempfile.mkdtemp(prefix="ycrawl_fx_"), "fx")
+    snap1 = t.append(day1)
+    t.append(day2)
+    return t.read(spark, as_of=snap1)
