@@ -125,3 +125,27 @@ def test_incremental_epoch_plan_has_no_join(spark):
     # (appears twice: the losers/survivors union duplicates the subtree;
     # AQE reuses the broadcast exchange at runtime)
     assert 1 <= plan.count("BroadcastHashJoin") <= 2
+
+
+def test_calendar_min_marker_window_not_join(spark):
+    """The min-marker annotation (reference pandas self-merge,
+    historyplot.py:93-95) must compile to a window over one shuffle,
+    not a self-join."""
+    plan = plan_of(spark, "calendar_min_marker")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_trend_selected_partial_aggregation(spark):
+    plan = plan_of(spark, "trend_selected_vs_alt")
+    pre_exchange = plan.split("Exchange hashpartitioning")[0]
+    assert "HashAggregate" in pre_exchange
+
+
+def test_qr_cross_frontier_broadcasts_dims(spark):
+    """Multi-way cross of tiny dims must broadcast, never shuffle."""
+    plan = plan_of(spark, "qr_cross_stride_urls")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
