@@ -1,0 +1,88 @@
+"""ANN quality gates: the approximate paths (LSH, IVF) are rows-only in
+the driver's oracle gate (approximation is not SQL-expressible), so
+their quality is pinned here — recall vs the exact brute-force top-k on
+the driver testdata, plus structural invariants of the dup-pair op.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ycrawl_spark import vectors
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERY_IDS = list(range(0, 40))
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def _topk_sets(df):
+    rows = df.collect()
+    out: dict[int, set] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx: dict[int, set], exact: dict[int, set]) -> float:
+    hits = sum(len(approx.get(q, set()) & nbrs) for q, nbrs in exact.items())
+    total = sum(len(nbrs) for nbrs in exact.values())
+    return hits / total
+
+
+def test_lsh_recall_vs_exact(spark, emb):
+    exact = _topk_sets(vectors.cosine_topk(emb, QUERY_IDS, k=K))
+    approx = _topk_sets(vectors.ann_lsh_topk(emb, QUERY_IDS, k=K, n_planes=6))
+    # 16 OR-amplified tables of 6 hyperplanes (64 buckets each): on this
+    # corpus that scans ~25% of candidates and must keep at least half
+    # of the true neighbors; below 0.5 the bucketer is broken, not lossy
+    assert _recall(approx, exact) >= 0.5
+
+
+def test_lsh_candidate_reduction(spark, emb):
+    """The LSH path must actually prune: candidates scored per query
+    stay well under the full corpus even with OR-amplification."""
+    n = emb.count()
+    one = vectors.ann_lsh_topk(emb, [QUERY_IDS[0]], k=n, n_planes=6)
+    assert one.count() < n * 0.6
+
+
+def test_ivf_recall_vs_exact(spark, emb):
+    exact = _topk_sets(vectors.cosine_topk(emb, QUERY_IDS, k=K))
+    approx = _topk_sets(
+        vectors.ivf_ann_topk(emb, QUERY_IDS, k=K, n_cells=8, n_probe=4)
+    )
+    assert _recall(approx, exact) >= 0.5
+
+
+def test_ivf_probes_fraction_of_data(spark, emb):
+    """The IVF plan's value is candidate reduction: with n_probe=1 of 8
+    cells, each query must score far fewer candidates than brute force."""
+    n = emb.count()
+    one = vectors.ivf_ann_topk(emb, [QUERY_IDS[0]], k=n, n_cells=8, n_probe=1)
+    scanned = one.count()  # k=n keeps every scored candidate
+    assert scanned < n * 0.6
+
+
+def test_exact_topk_is_self_consistent(spark, emb):
+    """rank is dense 1..k per query and cos_sim non-increasing."""
+    df = vectors.cosine_topk(emb, QUERY_IDS[:10], k=K)
+    pdf = df.toPandas().sort_values(["query_id", "rank"])
+    for _, g in pdf.groupby("query_id"):
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        sims = list(g["cos_sim"])
+        assert all(a >= b - 1e-9 for a, b in zip(sims, sims[1:]))
+
+
+def test_dup_pairs_ordered_and_thresholded(spark, emb):
+    df = vectors.cosine_dup_pairs(emb.limit(300), threshold=0.8)
+    pdf = df.toPandas()
+    assert (pdf["doc_a"] < pdf["doc_b"]).all()
+    assert (pdf["cos_sim"] >= 0.8 - 1e-9).all()
