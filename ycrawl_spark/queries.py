@@ -1614,3 +1614,40 @@ def fx_snapshot_fallback(spark, sf_dir):
     snap1 = t.append(day1)
     t.append(day2)
     return t.read(spark, as_of=snap1)
+
+
+@query(
+    "symmetric_date_window",
+    """
+    SELECT o.o_orderkey, l.l_linenumber,
+           CAST(o.o_orderdate AS DATE) AS odate,
+           CAST(l.l_shipdate AS DATE) AS sdate
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE (abs(datediff('day', DATE '1996-03-01', CAST(o.o_orderdate AS DATE))) <= 30
+           AND abs(datediff('day', DATE '1996-04-01', CAST(l.l_shipdate AS DATE))) <= 30)
+       OR (abs(datediff('day', DATE '1996-04-01', CAST(o.o_orderdate AS DATE))) <= 30
+           AND abs(datediff('day', DATE '1996-03-01', CAST(l.l_shipdate AS DATE))) <= 30)
+    """,
+)
+def symmetric_date_window(spark, sf_dir):
+    """Symmetric date-window disjunction: |d1-A|<=30 ∧ |d2-B|<=30, OR the
+    swapped pairing (reference q_flight_calendar, historyplot.py:183-184
+    — outbound/return windows matched either way round)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    a = F.lit("1996-03-01").cast("date")
+    b = F.lit("1996-04-01").cast("date")
+    od = F.col("o_orderdate").cast("date")
+    sd = F.col("l_shipdate").cast("date")
+
+    def near(c, d):
+        return F.abs(F.datediff(c, d)) <= 30
+
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter((near(od, a) & near(sd, b)) | (near(od, b) & near(sd, a)))
+        .select(
+            "o_orderkey", "l_linenumber",
+            od.alias("odate"), sd.alias("sdate"),
+        )
+    )
