@@ -86,3 +86,18 @@ def test_dup_pairs_ordered_and_thresholded(spark, emb):
     pdf = df.toPandas()
     assert (pdf["doc_a"] < pdf["doc_b"]).all()
     assert (pdf["cos_sim"] >= 0.8 - 1e-9).all()
+
+
+def test_dup_pairs_lsh_recall_and_precision(spark, emb):
+    """LSH-prefiltered dup pairs: every reported pair is a TRUE pair
+    (exact scoring on candidates — perfect precision), and recall vs
+    the exact all-pairs result stays above the sign-LSH collision bound
+    for this similarity band."""
+    t = 0.4
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in vectors.cosine_dup_pairs(emb, threshold=t).collect()}
+    approx = {(r["doc_a"], r["doc_b"])
+              for r in vectors.cosine_dup_pairs_lsh(emb, threshold=t).collect()}
+    assert exact, "fixture must contain pairs at this threshold"
+    assert approx <= exact          # precision 1.0 by construction
+    assert len(approx & exact) / len(exact) >= 0.4

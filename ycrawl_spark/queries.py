@@ -1651,3 +1651,13 @@ def symmetric_date_window(spark, sf_dir):
             od.alias("odate"), sd.alias("sdate"),
         )
     )
+
+
+@query("cosine_dup_pairs_lsh")  # LSH prefilter → approximate (rows-only);
+# exact sibling cosine_dup_pairs is the oracle-checked baseline
+def cosine_dup_pairs_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via LSH candidate prefilter — the
+    corpus-scale dedup path (recall gate in tests/test_vectors.py)."""
+    return vectors.cosine_dup_pairs_lsh(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )

@@ -202,6 +202,55 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
     )
 
 
+def cosine_dup_pairs_lsh(df: DataFrame, threshold: float = 0.9,
+                         n_planes: int = 6, n_tables: int = 16,
+                         seed: int = 42, id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs with an LSH candidate prefilter —
+    the corpus-scale path replacing the O(n²) ``cosine_dup_pairs``:
+    candidate pairs must collide in ≥1 of ``n_tables`` sign-projection
+    tables, exact cosine scoring runs only on candidates.
+
+    Plan shape: narrow (id, bucket) self-join per bucket (co-
+    partitioned shuffle on bucket id — never a cross join), pair dedup,
+    then two joins back to fetch vectors for the surviving pairs only.
+    Recall < 1 by construction; collision probability per table is
+    (1−θ/π)^n_planes, amplified over tables — tune (n_planes,
+    n_tables) to the similarity band that must not be missed."""
+    dim = len(df.select(emb_col).first()[0])
+    buckets_udf = lsh_table_buckets_udf(dim, n_tables, n_planes, seed)
+    ids = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(buckets_udf(F.col(emb_col))).alias("bucket"),
+    )
+    cand = (
+        ids.alias("x")
+        .join(ids.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sides = with_norm(df, emb_col)
+    a = sides.select(
+        F.col(id_col).alias("doc_a"), _as_double(emb_col).alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = sides.select(
+        F.col(id_col).alias("doc_b"), _as_double(emb_col).alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("cos_sim", dot / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def ivf_ann_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                  n_cells: int = 8, n_probe: int = 2, seed: int = 42,
                  id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
