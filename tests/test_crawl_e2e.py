@@ -101,3 +101,17 @@ def test_resume_in_regenerate_mode(spark, tmp_path_factory, crawl_run):
     run_crawl(spark, regen, wd, use_bloom=True, resume=True)
     assert crawl_order(spark, wd) == crawl_order(spark, wd_full)
     assert seen_sets(spark, wd, regen) == seen_sets(spark, wd_full, CFG)
+
+
+def test_sharded_bloom_backend_identical(spark, tmp_path_factory, crawl_run):
+    """The partitioned-Bloom backend (cfg.bloom_backend='sharded' — the
+    10^10-key layout where the filter is never broadcast) must produce
+    byte-identical crawl order and seen sets, in both frontier modes."""
+    wd_ref, _ = crawl_run  # driver-bloom incremental run
+    for mode in ("incremental", "regenerate"):
+        cfg = CrawlConfig(**{**CFG.__dict__, "frontier_mode": mode,
+                             "bloom_backend": "sharded", "bloom_shards": 8})
+        wd = str(tmp_path_factory.mktemp(f"c_sharded_{mode}"))
+        run_crawl(spark, cfg, wd, use_bloom=True)
+        assert crawl_order(spark, wd) == crawl_order(spark, wd_ref)
+        assert seen_sets(spark, wd, cfg) == seen_sets(spark, wd_ref, CFG)

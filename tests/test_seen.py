@@ -48,3 +48,62 @@ def test_anti_join_with_bloom_equals_exact(spark):
         r["key"] for r in anti_join_unseen(cand, seen, "key", bloom, spark).collect()
     }
     assert with_bloom == exact
+
+
+def test_sharded_bloom_matches_exact_antijoin(spark):
+    """The partitioned-Bloom membership gate (cogrouped applyInPandas,
+    no filter broadcast) must reproduce the exact anti-join result:
+    false negatives impossible, false positives resolved by the exact
+    re-check — same contract as the driver Bloom."""
+    from ycrawl_spark.seen import (build_sharded_bloom, sharded_maybe_tag,
+                                   shard_col)
+
+    seen = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 2000, 2)], "key string"
+    )
+    cand = spark.createDataFrame(
+        [(f"k{i}",) for i in range(1500, 2500)], "key string"
+    )
+    shards = build_sharded_bloom(seen, n_items_hint=1000, n_shards=16)
+    assert shards.count() <= 16
+    tagged = sharded_maybe_tag(cand, shards, 16)
+    # no false negatives: every truly-seen candidate is flagged maybe
+    missed = (
+        tagged.join(seen, "key", "left_semi")
+        .filter(~F.col("_maybe")).count()
+    )
+    assert missed == 0
+    # gate + exact re-check == plain exact anti-join
+    definite = tagged.filter(~F.col("_maybe")).drop("_maybe")
+    rechecked = (
+        tagged.filter(F.col("_maybe")).drop("_maybe")
+        .join(seen, "key", "left_anti")
+    )
+    got = {r["key"] for r in definite.unionByName(rechecked).collect()}
+    want = {r["key"] for r in cand.join(seen, "key", "left_anti").collect()}
+    assert got == want
+
+
+def test_sharded_bloom_dirty_shard_update(spark):
+    """update_sharded_bloom touches only the shards its delta hashes
+    into; clean shards' bits are byte-identical before and after."""
+    from ycrawl_spark.seen import build_sharded_bloom, update_sharded_bloom
+
+    base = spark.createDataFrame([(f"a{i}",) for i in range(500)], "key string")
+    shards0 = build_sharded_bloom(base, n_items_hint=1000, n_shards=16)
+    before = {r["shard"]: bytes(r["bits"]) for r in shards0.collect()}
+    delta = spark.createDataFrame([("delta-key-1",), ("delta-key-2",)],
+                                  "key string")
+    from ycrawl_spark.seen import shard_col
+    dirty = {r[0] for r in delta.select(
+        shard_col("key", 16).alias("s")).collect()}
+    shards1 = update_sharded_bloom(shards0, delta, 16)
+    after = {r["shard"]: bytes(r["bits"]) for r in shards1.collect()}
+    assert set(after) == set(before) | dirty
+    for s, bits in after.items():
+        if s in before and s not in dirty:
+            assert bits == before[s]  # clean shard untouched
+    # and the delta keys are now members
+    from ycrawl_spark.seen import sharded_maybe_tag
+    tagged = sharded_maybe_tag(delta, shards1, 16)
+    assert tagged.filter(~F.col("_maybe")).count() == 0

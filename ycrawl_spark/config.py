@@ -57,6 +57,16 @@ class CrawlConfig:
     # Bloom gates the shuffled join down to maybe-hits only.
     bloom_min_items: int = 1_000_000
 
+    # Bloom backend: "driver" holds one bitset on the driver and
+    # broadcasts it per epoch — right for any filter that fits a
+    # broadcast. "sharded" keys the filter by xxhash64(key) % n_shards
+    # and tests membership via a cogrouped applyInPandas, so a task
+    # only ever holds its shard's bits (total/n_shards) — the 10^10-key
+    # layout where the full filter (~12 GB at 1% fpp) can never be
+    # broadcast. Identical results (tests assert).
+    bloom_backend: str = "driver"
+    bloom_shards: int = 64
+
     # Largest seen-state (rows) the epoch join will broadcast. Below it
     # the state ships to executors once (no shuffle of either side);
     # above it the join shuffles both sides — still cheap and, unlike a

@@ -115,21 +115,29 @@ def seen_state(seen_agg: DataFrame | None, cfg: CrawlConfig):
 def apply_seen_state(pending: DataFrame, seen_agg: DataFrame | None,
                      cfg: CrawlConfig, spark: SparkSession,
                      use_bloom: bool, n_seen_hint: int,
-                     bloom: seen_mod.Bloom | None = None) -> DataFrame:
+                     bloom: seen_mod.Bloom | None = None,
+                     shards: DataFrame | None = None) -> DataFrame:
     """THE URL-seen membership test: attach crawl state to frontier rows
     and drop done/forfeited ones. Bloom-gated (definitely-unseen rows
     bypass the join; maybe-hits take the exact check) once the state
     outgrows broadcast. Runs per epoch in "regenerate" mode; at resume
-    entry and frontier ingestion in "incremental" mode."""
+    entry and frontier ingestion in "incremental" mode. With a sharded
+    filter (cfg.bloom_backend="sharded") the gate is the partitioned
+    Bloom — no filter broadcast, tasks hold one shard's bits each."""
     if seen_agg is None:
         return pending.withColumn("err_count", F.lit(0).cast("long"))
-    live_bloom = bloom if (
-        use_bloom and n_seen_hint >= max(cfg.bloom_min_items, 1)
-    ) else None
-    out = seen_mod.join_seen_state(
-        pending, seen_agg, "key", live_bloom, spark,
-        broadcast_state=n_seen_hint <= cfg.state_broadcast_max,
-    )
+    gated = use_bloom and n_seen_hint >= max(cfg.bloom_min_items, 1)
+    broadcast_state = n_seen_hint <= cfg.state_broadcast_max
+    if gated and shards is not None:
+        out = seen_mod.join_seen_state_sharded(
+            pending, seen_agg, shards, cfg.bloom_shards,
+            broadcast_state=broadcast_state,
+        )
+    else:
+        out = seen_mod.join_seen_state(
+            pending, seen_agg, "key", bloom if gated else None, spark,
+            broadcast_state=broadcast_state,
+        )
     return out.filter(
         (F.col("done") == 0) & (F.col("err_count") < cfg.max_retry)
     ).drop("done")
@@ -225,7 +233,9 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
                          seen_agg: DataFrame | None, n_seen_hint: int,
                          hot_hosts: list[str] | None,
                          bloom: seen_mod.Bloom | None,
-                         ) -> tuple[EpochStats, DataFrame | None, DataFrame]:
+                         shards: DataFrame | None = None,
+                         ) -> tuple[EpochStats, DataFrame | None, DataFrame,
+                                    DataFrame | None]:
     """One epoch, reference mechanics: the (monotonically shrinking)
     pending set re-takes the seen-membership test every tick
     (/root/reference/Coordinator/main.py:65-68), Bloom-gated at scale.
@@ -233,12 +243,12 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     the fresh state equals the full-frontier anti-join result."""
     candidates = apply_seen_state(
         pending.drop("err_count"), seen_agg, cfg, spark, use_bloom,
-        n_seen_hint, bloom,
+        n_seen_hint, bloom, shards,
     ).localCheckpoint()
     n_cand = candidates.count()
     new_pending = candidates
     if n_cand == 0:
-        return EpochStats(epoch, 0, 0, 0, 0), seen_agg, new_pending
+        return EpochStats(epoch, 0, 0, 0, 0), seen_agg, new_pending, shards
 
     with_attempt = candidates.withColumn(
         "attempt", (F.col("err_count") + 1).cast("int")
@@ -248,7 +258,7 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     )
     stats, delta = _fetch_commit(spark, cat, cfg, selected, epoch, n_cand)
     if delta is None:
-        return stats, seen_agg, new_pending
+        return stats, seen_agg, new_pending, shards
 
     # Incremental seen-state compaction: old agg ∪ epoch delta.
     delta_agg = delta.groupBy("key").agg(
@@ -262,12 +272,23 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     )
     new_agg = merged.localCheckpoint()
 
-    # Keep the driver-held Bloom current with O(delta) work, never an
-    # O(seen) rebuild.
-    if bloom is not None:
+    # Keep the filter current with O(delta) work, never an O(seen)
+    # rebuild: driver Bloom ORs the delta's keys in; the sharded filter
+    # rewrites only the shards the delta touches.
+    if use_bloom and cfg.bloom_backend == "sharded":
+        if shards is None:  # first delta of a fresh sharded crawl
+            shards = seen_mod.build_sharded_bloom(
+                delta.select("key"), max(2 * cfg.n_urls, 1024),
+                cfg.bloom_shards,
+            ).localCheckpoint()
+        else:
+            shards = seen_mod.update_sharded_bloom(
+                shards, delta.select("key"), cfg.bloom_shards
+            ).localCheckpoint()
+    elif bloom is not None:
         seen_mod.add_keys_to_bloom(bloom, delta.select("key"), "key")
 
-    return stats, new_agg, new_pending
+    return stats, new_agg, new_pending, shards
 
 
 def run_crawl(spark: SparkSession, cfg: CrawlConfig, workdir: str,
@@ -339,11 +360,20 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
     # rebuilt once from the compacted state where membership testing
     # actually happens (resume entry / regenerate loop).
     incremental = cfg.frontier_mode != "regenerate"
+    sharded = cfg.bloom_backend == "sharded"
     bloom = None
+    shards = None
     if use_bloom and (not incremental or seen_agg is not None):
-        bloom = seen_mod.Bloom.sized_for(max(2 * cfg.n_urls, 1024))
-        if seen_agg is not None and n_seen_hint > 0:
-            seen_mod.add_keys_to_bloom(bloom, seen_agg.select("key"), "key")
+        if sharded:
+            if seen_agg is not None and n_seen_hint > 0:
+                shards = seen_mod.build_sharded_bloom(
+                    seen_agg.select("key"), max(2 * cfg.n_urls, 1024),
+                    cfg.bloom_shards,
+                ).localCheckpoint()
+        else:
+            bloom = seen_mod.Bloom.sized_for(max(2 * cfg.n_urls, 1024))
+            if seen_agg is not None and n_seen_hint > 0:
+                seen_mod.add_keys_to_bloom(bloom, seen_agg.select("key"), "key")
 
     # The URL-seen membership test at the frontier boundary: in
     # incremental mode it runs here exactly once per (re)entry — fresh
@@ -351,6 +381,7 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
     if incremental:
         pending = apply_seen_state(
             pending, seen_agg, cfg, spark, use_bloom, n_seen_hint, bloom,
+            shards,
         )
 
     hot_hosts = scheduler.hot_hosts_of(frontier, cfg)
@@ -373,9 +404,9 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
                 spark, cat, cfg, pending, politeness, epoch, hot_hosts,
             )
         else:
-            st, seen_agg, pending = run_epoch_regenerate(
+            st, seen_agg, pending, shards = run_epoch_regenerate(
                 spark, cat, cfg, pending, politeness, epoch, use_bloom,
-                seen_agg, n_seen_hint, hot_hosts, bloom,
+                seen_agg, n_seen_hint, hot_hosts, bloom, shards,
             )
         stats.append(st)
         if st.n_selected == 0:

@@ -249,3 +249,142 @@ class Cuckoo:
                 self.table[idx, hits[0]] = 0
                 return True
         return False
+
+
+# ───────────────── partitioned (sharded) Bloom — 10^10 path ─────────────────
+#
+# The driver-held Bloom above broadcasts the WHOLE bitset to every
+# executor each epoch — right up to the point where the filter outgrows
+# a broadcast (10^10 keys ≈ 12 GB at 1% fpp). The sharded layout keeps
+# the north_rule's scale: keys shard by xxhash64(key) % n_shards, each
+# shard is an independently-sized Bloom stored as ONE row
+# (shard, m, k, bits); the membership test co-groups candidates with
+# their shard row (cogrouped applyInPandas), so a task ever holds just
+# its shard's bits (total_bits / n_shards), never the full filter — and
+# an epoch update rewrites only the shards its delta touches.
+
+
+def shard_col(key_col: str, n_shards: int):
+    return F.pmod(F.xxhash64(key_col), F.lit(n_shards)).cast("int")
+
+
+def build_sharded_bloom(keys_df: DataFrame, n_items_hint: int,
+                        n_shards: int = 64, fpp: float = 0.01,
+                        key_col: str = "key") -> DataFrame:
+    """(shard, m, k, bits) — one Bloom per shard, each sized for the
+    per-shard share of the hint. Distributed grouped aggregation; no
+    driver-side bitset ever materializes."""
+    proto = Bloom.sized_for(max(n_items_hint // n_shards, 1), fpp)
+    m, k = proto.m, proto.k
+
+    def shard_agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b = Bloom(m, k)
+        b.add_many(pdf[key_col].tolist())
+        return pd.DataFrame(
+            {"shard": [int(key[0])], "m": [m], "k": [k], "bits": [b.to_bytes()]}
+        )
+
+    return (
+        keys_df.select(key_col)
+        .withColumn("shard", shard_col(key_col, n_shards))
+        .groupBy("shard")
+        .applyInPandas(shard_agg, schema="shard int, m long, k int, bits binary")
+    )
+
+
+def update_sharded_bloom(shards: DataFrame, delta_keys: DataFrame,
+                         n_shards: int, key_col: str = "key") -> DataFrame:
+    """OR the delta's keys into the filter — only shards the delta
+    touches are rewritten (dirty-shard update); clean shards pass
+    through untouched. O(delta) hashing + O(dirty_shards) bits I/O."""
+    m_k = shards.select("m", "k").first()
+    if m_k is None:
+        raise ValueError("update_sharded_bloom on an empty shard set; "
+                         "use build_sharded_bloom first")
+    m, k = int(m_k["m"]), int(m_k["k"])
+
+    def merge(key, cand: pd.DataFrame, old: pd.DataFrame) -> pd.DataFrame:
+        if len(cand) == 0:
+            return old[["shard", "m", "k", "bits"]]  # clean shard: unchanged
+        b = Bloom(m, k)
+        if len(old):
+            b.words |= np.frombuffer(bytes(old["bits"].iloc[0]), dtype=np.uint64)
+        b.add_many(cand[key_col].tolist())
+        return pd.DataFrame(
+            {"shard": [int(key[0])], "m": [m], "k": [k], "bits": [b.to_bytes()]}
+        )
+
+    delta = delta_keys.select(key_col).withColumn(
+        "shard", shard_col(key_col, n_shards)
+    )
+    return (
+        delta.groupBy("shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(merge, schema="shard int, m long, k int, bits binary")
+    )
+
+
+def sharded_maybe_tag(candidates: DataFrame, shards: DataFrame,
+                      n_shards: int, key_col: str = "key") -> DataFrame:
+    """candidates + ``_maybe`` boolean: Bloom verdict from the row's own
+    shard only. Co-grouped by shard id — the shuffle moves candidate
+    rows and ONE bits-row per shard; no broadcast of the filter at all.
+    False negatives impossible; maybe-hits take the exact join upstream.
+    """
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    cand = candidates.withColumn("_shard", shard_col(key_col, n_shards))
+    out_schema = StructType(
+        cand.schema.fields + [StructField("_maybe", BooleanType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def check(key, cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0:
+            return pd.DataFrame(columns=cols)
+        if len(sdf) == 0:  # no shard row yet: nothing seen in this shard
+            cdf["_maybe"] = False
+            return cdf[cols]
+        b = Bloom.from_bytes(int(sdf["m"].iloc[0]), int(sdf["k"].iloc[0]),
+                             bytes(sdf["bits"].iloc[0]))
+        cdf["_maybe"] = b.contains_many(cdf[key_col].tolist())
+        return cdf[cols]
+
+    return (
+        cand.groupBy("_shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(check, schema=out_schema)
+        .drop("_shard")
+    )
+
+
+def join_seen_state_sharded(candidates: DataFrame, seen_agg: DataFrame,
+                            shards: DataFrame, n_shards: int,
+                            key_col: str = "key",
+                            broadcast_state: bool = False) -> DataFrame:
+    """``join_seen_state`` with the partitioned-Bloom gate: the maybe
+    verdict comes from the row's own shard (no filter broadcast), then
+    only maybe-hits join the compacted state. Same results as the
+    driver-Bloom and exact paths (tests assert)."""
+    state = seen_agg.select(
+        key_col,
+        F.col("done").cast("int").alias("done"),
+        F.col("err_count").cast("long").alias("err_count"),
+    )
+    if broadcast_state:
+        state = F.broadcast(state)
+    tagged = sharded_maybe_tag(candidates, shards, n_shards, key_col)
+    definite_new = (
+        tagged.filter(~F.col("_maybe"))
+        .drop("_maybe")
+        .withColumn("done", F.lit(0))
+        .withColumn("err_count", F.lit(0).cast("long"))
+    )
+    maybe = (
+        tagged.filter(F.col("_maybe")).drop("_maybe")
+        .join(state, key_col, "left")
+        .withColumn("done", F.coalesce(F.col("done"), F.lit(0)))
+        .withColumn("err_count",
+                    F.coalesce(F.col("err_count"), F.lit(0).cast("long")))
+    )
+    return definite_new.unionByName(maybe)
