@@ -115,3 +115,28 @@ def test_sharded_bloom_backend_identical(spark, tmp_path_factory, crawl_run):
         run_crawl(spark, cfg, wd, use_bloom=True)
         assert crawl_order(spark, wd) == crawl_order(spark, wd_ref)
         assert seen_sets(spark, wd, cfg) == seen_sets(spark, wd_ref, CFG)
+
+
+def test_sharded_resume_uses_durable_shards(spark, tmp_path_factory, crawl_run):
+    """Regenerate+sharded resume: the durable bloom_shards snapshot
+    (written at exit, labelled with fetch_log's epoch) is loaded on
+    re-entry instead of an O(seen) rebuild, and the resumed crawl still
+    matches the uninterrupted reference run exactly."""
+    from ycrawl_spark.catalog import Catalog
+
+    wd_full, _ = crawl_run
+    cfg = CrawlConfig(**{**CFG.__dict__, "frontier_mode": "regenerate",
+                         "bloom_backend": "sharded", "bloom_shards": 8,
+                         "state_compact_every": 2})
+    wd = str(tmp_path_factory.mktemp("c_sharded_resume"))
+    partial = CrawlConfig(**{**cfg.__dict__, "max_epochs": 2})
+    run_crawl(spark, partial, wd, use_bloom=True)
+    cat = Catalog(wd)
+    # the mid-crawl compaction persisted a shard snapshot labelled
+    # with the epoch it covered
+    assert cat.table("bloom_shards").latest_epoch() == 2
+    run_crawl(spark, cfg, wd, use_bloom=True, resume=True)
+    assert cat.table("bloom_shards").latest_epoch() == \
+        cat.table("fetch_log").latest_epoch()
+    assert crawl_order(spark, wd) == crawl_order(spark, wd_full)
+    assert seen_sets(spark, wd, cfg) == seen_sets(spark, wd_full, CFG)

@@ -366,10 +366,18 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
     if use_bloom and (not incremental or seen_agg is not None):
         if sharded:
             if seen_agg is not None and n_seen_hint > 0:
-                shards = seen_mod.build_sharded_bloom(
-                    seen_agg.select("key"), max(2 * cfg.n_urls, 1024),
-                    cfg.bloom_shards,
-                ).localCheckpoint()
+                # Resume fast-path: the durable shard table (written at
+                # crawl exit, labelled with fetch_log's latest epoch — the
+                # "bloom shard paths" of the checkpoint manifest) skips
+                # the O(seen) rebuild; stale/missing → rebuild from state.
+                shards_t = cat.table("bloom_shards")
+                if shards_t.latest_epoch() == cat.table("fetch_log").latest_epoch():
+                    shards = shards_t.read(spark).localCheckpoint()
+                else:
+                    shards = seen_mod.build_sharded_bloom(
+                        seen_agg.select("key"), max(2 * cfg.n_urls, 1024),
+                        cfg.bloom_shards,
+                    ).localCheckpoint()
         else:
             bloom = seen_mod.Bloom.sized_for(max(2 * cfg.n_urls, 1024))
             if seen_agg is not None and n_seen_hint > 0:
@@ -426,6 +434,8 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
             epoch % cfg.state_compact_every == 0
         ):
             cat.table("seen_agg").replace(seen_agg, epoch=epoch)
+            if shards is not None:
+                cat.table("bloom_shards").replace(shards, epoch=epoch)
     # Final durable state snapshot so a warm resume needs no log rebuild
     # (labelled with the log's latest epoch — the staleness check in
     # load_seen_agg compares against fetch_log).
@@ -434,6 +444,15 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
         cat.table("seen_agg").latest_epoch() != last_log
     ):
         cat.table("seen_agg").replace(seen_agg, epoch=last_log)
+    # Durable shard snapshot (the checkpoint's bloom-shard paths): only
+    # in regenerate mode, where the loop keeps shards current with every
+    # delta — incremental-entry shards go stale the moment fetching
+    # starts, and a stale filter persisted as fresh would produce false
+    # negatives (re-crawls) on the next resume.
+    if not incremental and shards is not None and last_log is not None and (
+        cat.table("bloom_shards").latest_epoch() != last_log
+    ):
+        cat.table("bloom_shards").replace(shards, epoch=last_log)
     frontier.unpersist()
     politeness.unpersist()
     return stats
