@@ -1661,3 +1661,26 @@ def cosine_dup_pairs_lsh(spark, sf_dir):
     return vectors.cosine_dup_pairs_lsh(
         load(spark, sf_dir, "embeddings"), threshold=0.4
     )
+
+
+@query(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark, sf_dir):
+    """CUBE aggregation — all grouping-set combinations in one pass
+    (completes the grouping-sets family next to rollup_order_counts;
+    the reference has no cube/rollup — SURVEY §2.9 — this is engine
+    surface beyond it)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
