@@ -1,0 +1,137 @@
+"""Recall and bucket-cap gates for the text-dedup prefilters.
+
+The round-1 simhash prefilter (fixed 4×16-bit blocks) guaranteed
+recall only for hamming ≤ 3 while the registered query asked for 16 —
+silently missed pairs. These tests plant sketch pairs at known hamming
+distances with the dirty bits SPREAD adversarially (one per 16-bit
+quarter, the exact pattern the old scheme lost) and pin the pigeonhole
+guarantee of the threshold-derived block layout. Plus: property tests
+for the hot-bucket df-cap (drop over-cap buckets, observable mass,
+no-op below cap).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ycrawl_spark import textops
+
+
+def _flip(v: int, bits: list[int]) -> int:
+    for b in bits:
+        v ^= 1 << b
+    return v
+
+
+def _to_i64(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+BASE = 0x5A5A_C3C3_0F0F_9696
+
+
+def _sketch_df(spark, values: dict[int, int]):
+    rows = [(doc_id, _to_i64(v)) for doc_id, v in values.items()]
+    return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+
+def test_simhash_blocks_cover_64_bits():
+    for h in (1, 3, 8, 16, 31, 63):
+        layout = textops._simhash_block_layout(h, None)
+        assert len(layout) == min(h + 1, 64)
+        assert sum(w for _, w in layout) == 64
+        offs = [o for o, _ in layout]
+        assert offs == sorted(offs) and offs[0] == 0
+
+
+@pytest.mark.parametrize("hamming_bits", [
+    [0, 16, 32, 48],                  # h=4, one dirty bit per old quarter
+    [1, 9, 17, 25, 33, 41, 49, 57],   # h=8, two per old quarter
+    list(range(0, 64, 4)),            # h=16, four per old quarter
+])
+def test_planted_pairs_within_threshold_are_found(spark, hamming_bits):
+    """Every planted pair within max_hamming must be returned even when
+    the dirty bits touch all four 16-bit quarters (the round-1 scheme
+    returned NONE of these)."""
+    h = len(hamming_bits)
+    values = {0: BASE, 1: _flip(BASE, hamming_bits)}
+    # distractors far away (> threshold): flip 40 bits
+    values[2] = _flip(BASE, list(range(3, 43)))
+    out = textops.simhash_near_dups_from_sketch(
+        _sketch_df(spark, values), max_hamming=16
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert (0, 1) in pairs, f"pair at hamming {h} missed by prefilter"
+    assert pairs[(0, 1)] == h
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_planted_pairs_beyond_threshold_are_filtered(spark):
+    values = {0: BASE, 1: _flip(BASE, list(range(0, 34, 2)))}  # h=17
+    out = textops.simhash_near_dups_from_sketch(
+        _sketch_df(spark, values), max_hamming=16
+    ).collect()
+    assert out == []
+
+
+def test_round1_fixed_blocks_would_miss(spark):
+    """Regression pin: with the OLD fixed 4-block layout (n_blocks=4)
+    a spread pair at hamming 4 is missed — proving the planted test
+    actually bites on the round-1 construction."""
+    values = {0: BASE, 1: _flip(BASE, [0, 16, 32, 48])}
+    out = textops.simhash_near_dups_from_sketch(
+        _sketch_df(spark, values), max_hamming=16, n_blocks=4
+    ).collect()
+    assert out == []  # the old scheme's recall hole
+
+
+def _skewed_docs(spark, n_hot: int = 30, n_cold: int = 6):
+    """n_hot docs share one 4-token phrase verbatim (a stop-phrase
+    bucket); n_cold docs are pairwise-unrelated."""
+    rows = [(i, f"the quick brown fox unique{i} tail{i}") for i in range(n_hot)]
+    rows += [(1000 + i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+             for i in range(n_cold)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bucket_cap_drops_hot_bucket_and_reports_mass(spark):
+    docs = _skewed_docs(spark)
+    out = textops.ngram_shared_pairs(docs, k=4, min_common=1, bucket_cap=10).collect()
+    # the 30-doc stop-phrase bucket (435 pairs) must be gone entirely
+    assert out == []
+    # drop mass is reportable, not silent
+    sh = (
+        textops.with_tokens(docs)
+        .select("doc_id", F.explode(
+            F.array_distinct(textops.shingles_col("tokens", 4))).alias("sh"))
+    )
+    m = textops.cap_drop_stats(sh, ["sh"], 10).collect()[0]
+    assert m["dropped_rows"] >= 30       # ≥ the hot bucket's members
+    assert m["n_hot_buckets"] >= 1
+    assert m["total_rows"] > m["dropped_rows"]
+
+
+def test_bucket_cap_noop_below_cap(spark):
+    docs = _skewed_docs(spark)
+    capped = textops.ngram_shared_pairs(docs, k=4, min_common=1, bucket_cap=1000)
+    uncapped = textops.ngram_shared_pairs(docs, k=4, min_common=1, bucket_cap=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_minhash_band_cap_noop_below_cap(spark):
+    docs = _skewed_docs(spark)
+    capped = textops.minhash_lsh_candidates(docs, bucket_cap=1000)
+    uncapped = textops.minhash_lsh_candidates(docs, bucket_cap=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_minhash_band_cap_kills_degenerate_band(spark):
+    """30 identical docs collide in every band; cap=10 must drop those
+    buckets (and with them all 435 identical-pair candidates)."""
+    rows = [(i, "same old boilerplate text everywhere") for i in range(30)]
+    rows += [(100, "one fresh document entirely"), (101, "another fresh doc here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.minhash_lsh_candidates(docs, bucket_cap=10).collect()
+    assert all(r["doc_a"] >= 100 for r in out)

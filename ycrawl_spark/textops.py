@@ -117,6 +117,46 @@ def exact_dedup_groups(df: DataFrame, n_prefix: int = 5, text_col: str = "text")
     )
 
 
+def cap_hot_buckets(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Document-frequency cap for bucket self-joins: drop every row of a
+    bucket with more than ``cap`` members BEFORE pairing.
+
+    A bucket shared by m docs emits m(m−1)/2 join rows; at corpus scale
+    a stop-phrase shingle / degenerate band hash makes one bucket
+    quadratic (straggler/OOM) even though small-SF results are fine. The
+    standard dedup-pipeline remedy is this df-cap: an over-cap bucket
+    carries near-zero signal per pair, so it is dropped whole — and the
+    drop must never be silent: ``cap_drop_stats`` on the same frame
+    reports the dropped mass (an ``Observation`` can't be used here —
+    the observed subtree gets duplicated by the downstream self-join and
+    its metrics become undefined, measured on Spark 4.1).
+
+    Plan shape: the count agg is map-side combined and the back-join
+    co-partitions on the bucket key the self-join needs anyway, so the
+    cap adds no extra wide shuffle of the exploded frame.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_bucket_n"))
+    tagged = df.join(counts, list(key_cols))
+    return tagged.filter(F.col("_bucket_n") <= cap).drop("_bucket_n")
+
+
+def cap_drop_stats(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """One-row drop-mass report for ``cap_hot_buckets(df, key_cols,
+    cap)``: (total_rows, dropped_rows, n_buckets, n_hot_buckets). A
+    deliberately separate, counts-only aggregation (never pairs
+    anything) so callers can LOG what a cap removed — the 'no silent
+    caps' contract."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_bucket_n"))
+    return counts.agg(
+        F.sum("_bucket_n").cast("long").alias("total_rows"),
+        F.sum(F.when(F.col("_bucket_n") > cap, F.col("_bucket_n")).otherwise(0))
+        .cast("long").alias("dropped_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.when(F.col("_bucket_n") > cap, 1).otherwise(0))
+        .cast("long").alias("n_hot_buckets"),
+    )
+
+
 def shingles_col(tokens_col: str = "tokens", k: int = 4):
     """k-token shingles via higher-order functions (JVM-side)."""
     return F.expr(
@@ -126,17 +166,23 @@ def shingles_col(tokens_col: str = "tokens", k: int = 4):
 
 
 def ngram_shared_pairs(df: DataFrame, k: int = 4, min_common: int = 1,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       bucket_cap: int | None = 10_000) -> DataFrame:
     """Near-dup candidates: doc pairs sharing ≥ min_common k-shingles.
 
     Distributed as shingle-bucket self-join (explode → groupBy shingle
     → pair within bucket), the classic scalable n-gram Jaccard
-    pre-filter; full Jaccard on candidates only.
+    pre-filter; full Jaccard on candidates only. ``bucket_cap`` drops
+    stop-phrase shingles shared by more than cap docs before pairing
+    (see ``cap_hot_buckets``) — a shingle every document contains is
+    pure pair-noise and a quadratic straggler at corpus scale.
     """
     sh = (
         with_tokens(fan_out(df), text_col)
         .select("doc_id", F.explode(F.array_distinct(shingles_col("tokens", k))).alias("sh"))
     )
+    if bucket_cap is not None:
+        sh = cap_hot_buckets(sh, ["sh"], bucket_cap)
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -187,9 +233,13 @@ def minhash_signatures(df: DataFrame, n_perm: int = 16, k: int = 4,
 
 
 def minhash_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
-                           k: int = 4, text_col: str = "text") -> DataFrame:
+                           k: int = 4, text_col: str = "text",
+                           bucket_cap: int | None = 10_000) -> DataFrame:
     """Banded LSH over MinHash signatures: same band hash → candidate
-    pair. shingle→minhash→band→bucket-join, all relational."""
+    pair. shingle→minhash→band→bucket-join, all relational.
+    ``bucket_cap`` defuses degenerate band buckets (e.g. the all-boiler-
+    plate band every doc shares) before the self-join — see
+    ``cap_hot_buckets``."""
     rows_per_band = n_perm // bands
     sigs = minhash_signatures(df, n_perm, k, text_col)
     band_cols = [
@@ -209,6 +259,8 @@ def minhash_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
             args=", ".join(f"{b}, band_{b}" for b in range(bands)),
         ),
     )
+    if bucket_cap is not None:
+        stacked = cap_hot_buckets(stacked, ["band_id", "band_hash"], bucket_cap)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -251,26 +303,64 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", val.alias("simhash"))
 
 
-def simhash_near_dups(df: DataFrame, max_hamming: int = 8,
-                      text_col: str = "text") -> DataFrame:
-    """SimHash near-dup pairs via 4×16-bit block LSH (a pair within
-    hamming ≤ max can't differ in all 4 blocks when max < 4·…; the
-    block-match is the standard recall-friendly prefilter), then exact
-    hamming via bit_count."""
-    s = simhash(df, text_col)
-    blocks = s.select(
+def _simhash_block_layout(max_hamming: int, n_blocks: int | None) -> list[tuple[int, int]]:
+    """(bit_offset, width) per LSH block over a 64-bit sketch.
+
+    Pigeonhole recall guarantee: a pair within hamming ``h`` has dirty
+    bits in at most ``h`` blocks, so with ``h + 1`` blocks at least one
+    block matches exactly — the prefilter misses NOTHING within the
+    threshold (the round-1 fixed 4×16-bit split guaranteed this only
+    for h ≤ 3 while the query asked for 16; Manku et al., WWW'07).
+    The 64 bits are spread as evenly as possible; width shrinks as the
+    threshold grows (h=16 → 17 blocks of 3-4 bits), which widens the
+    buckets — the honest cost of guaranteed recall at a large radius.
+    """
+    b = n_blocks if n_blocks is not None else max_hamming + 1
+    b = max(1, min(b, 64))
+    base, rem = divmod(64, b)
+    layout, off = [], 0
+    for i in range(b):
+        w = base + (1 if i < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def simhash_near_dups_from_sketch(sketch: DataFrame, max_hamming: int = 8,
+                                  sketch_col: str = "simhash",
+                                  n_blocks: int | None = None,
+                                  bucket_cap: int | None = None) -> DataFrame:
+    """Near-dup pairs from a 64-bit sketch column via block LSH
+    (block count derived from ``max_hamming`` — see
+    ``_simhash_block_layout``), then exact hamming via ``bit_count``.
+
+    ``bucket_cap``: document-frequency cap on (block_id, value)
+    buckets — see ``cap_hot_buckets`` / ``cap_drop_stats``. A capped
+    bucket trades recall for survival; for large thresholds the
+    guaranteed-recall prefilter inherently degrades toward all-pairs
+    (narrow blocks → wide buckets), so at corpus scale run with the cap
+    and log the drop mass.
+    """
+    layout = _simhash_block_layout(max_hamming, n_blocks)
+    blocks = sketch.select(
         "doc_id",
-        "simhash",
+        F.col(sketch_col).alias("_sk"),
         *[
-            ((F.shiftrightunsigned(F.col("simhash"), 16 * i)) % 65536)
-            .cast("int").alias(f"blk_{i}")
-            for i in range(4)
+            F.shiftrightunsigned(F.col(sketch_col), off)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .cast("long").alias(f"blk_{i}")
+            for i, (off, w) in enumerate(layout)
         ],
     )
     stacked = blocks.selectExpr(
-        "doc_id", "simhash",
-        "stack(4, 0, blk_0, 1, blk_1, 2, blk_2, 3, blk_3) as (blk_id, blk)"
+        "doc_id", "_sk",
+        "stack({n}, {args}) as (blk_id, blk)".format(
+            n=len(layout),
+            args=", ".join(f"{i}, blk_{i}" for i in range(len(layout))),
+        ),
     )
+    if bucket_cap is not None:
+        stacked = cap_hot_buckets(stacked, ["blk_id", "blk"], bucket_cap)
     a = stacked.alias("a")
     b = stacked.alias("b")
     cand = (
@@ -283,15 +373,28 @@ def simhash_near_dups(df: DataFrame, max_hamming: int = 8,
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a._sk").alias("sh_a"),
+            F.col("b._sk").alias("sh_b"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.expr("sh_a") .bitwiseXOR(F.expr("sh_b")))
+    hamming = F.bit_count(F.expr("sh_a").bitwiseXOR(F.expr("sh_b")))
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_dups(df: DataFrame, max_hamming: int = 8,
+                      text_col: str = "text",
+                      n_blocks: int | None = None,
+                      bucket_cap: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit sketch + threshold-derived block
+    LSH prefilter + exact hamming (see
+    ``simhash_near_dups_from_sketch`` for the recall guarantee)."""
+    return simhash_near_dups_from_sketch(
+        simhash(df, text_col), max_hamming, "simhash",
+        n_blocks=n_blocks, bucket_cap=bucket_cap,
+    )
 
 
 BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -356,7 +459,8 @@ def validate_shape(df: DataFrame, array_cols: list[str]) -> DataFrame:
 
 
 def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
-                               k: int = 4, text_col: str = "text") -> DataFrame:
+                               k: int = 4, text_col: str = "text",
+                               bucket_cap: int | None = 10_000) -> DataFrame:
     """MinHash + banded LSH with md5-string permutations — functionally
     the same shingle→minhash→band→bucket-join as
     ``minhash_lsh_candidates`` but every hash is ``md5`` (identical in
@@ -365,7 +469,9 @@ def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
     perm_i(s) = md5('p{i}:' || s); signature_i = lexicographic MIN;
     band hash = md5 of the comma-joined signatures in the band. Docs
     with fewer than k tokens have no shingles and are excluded (the
-    oracle's unnest drops them naturally)."""
+    oracle's unnest drops them naturally). ``bucket_cap`` (df-cap,
+    ``cap_hot_buckets``) sits far above any test-SF bucket so the
+    SQL oracle — which has no cap — still matches exactly."""
     rows_per_band = n_perm // bands
     t = with_tokens(fan_out(df), text_col).withColumn(
         "sh", F.array_distinct(shingles_col("tokens", k))
@@ -393,6 +499,8 @@ def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
             args=", ".join(f"{b}, band_{b}" for b in range(bands)),
         ),
     )
+    if bucket_cap is not None:
+        stacked = cap_hot_buckets(stacked, ["band_id", "band_hash"], bucket_cap)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

@@ -9,8 +9,23 @@ exact re-rank runs only within buckets.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .textops import cap_hot_buckets
+
+
+def auto_n_planes(n: int, target_bucket: int = 256,
+                  lo: int = 6, hi: int = 24) -> int:
+    """Derive the sign-LSH plane count from corpus size so bucket
+    population stays ~``target_bucket`` instead of n/2^6: n_planes ≈
+    log2(n / target_bucket), clamped to [lo, hi]. At 10⁹ vectors this
+    gives 22 planes (~4M buckets/table); at test SF it stays at the
+    round-1 default 6, so the recall gates keep guarding the same
+    construction."""
+    return max(lo, min(hi, math.ceil(math.log2(max(n / target_bucket, 1.0)))))
 
 
 def _as_double(col: str):
@@ -110,9 +125,11 @@ def lsh_table_buckets_udf(dim: int, n_tables: int, n_planes: int,
     return buckets
 
 
-def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 3, n_planes: int = 6,
+def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+                 n_planes: int | None = None,
                  seed: int = 42, id_col: str = "vec_id",
-                 emb_col: str = "embedding", n_tables: int = 16) -> DataFrame:
+                 emb_col: str = "embedding", n_tables: int = 16,
+                 bucket_cap: int | None = 100_000) -> DataFrame:
     """Approximate NN: candidates share an LSH bucket in at least one of
     ``n_tables`` sign-random-projection tables (OR-amplification); exact
     cosine re-rank over the deduplicated candidate set. Recall < 1 by
@@ -121,8 +138,15 @@ def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 3, n_planes: int 
     Plan shape at 10^9 vectors: base side explodes ×n_tables (bounded,
     tunable), queries broadcast exploded by table bucket, join on
     bucket id, dedupe (query, neighbor) — no all-pairs cross join
-    anywhere; candidate volume ≈ n_tables · n/2^n_planes per query."""
+    anywhere; candidate volume ≈ n_tables · n/2^n_planes per query.
+
+    ``n_planes=None`` derives the plane count from corpus size
+    (``auto_n_planes``) so buckets stay bounded as n grows;
+    ``bucket_cap`` drops degenerate buckets (near-zero vectors all
+    hashing together) before the candidate join, observably."""
     dim = len(df.select(emb_col).first()[0])
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     buckets_udf = lsh_table_buckets_udf(dim, n_tables, n_planes, seed)
     bucketed = df.withColumn("buckets", buckets_udf(F.col(emb_col)))
     # Candidate generation over NARROW (id, bucket) pairs only — the
@@ -133,6 +157,8 @@ def ann_lsh_topk(df: DataFrame, query_ids: list[int], k: int = 3, n_planes: int 
     base_ids = bucketed.select(
         F.col(id_col).alias("neighbor_id"), F.explode("buckets").alias("bucket")
     )
+    if bucket_cap is not None:
+        base_ids = cap_hot_buckets(base_ids, ["bucket"], bucket_cap)
     query_ids_b = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.explode("buckets").alias("bucket")
     )
@@ -203,9 +229,10 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
 
 
 def cosine_dup_pairs_lsh(df: DataFrame, threshold: float = 0.9,
-                         n_planes: int = 6, n_tables: int = 16,
+                         n_planes: int | None = None, n_tables: int = 16,
                          seed: int = 42, id_col: str = "vec_id",
-                         emb_col: str = "embedding") -> DataFrame:
+                         emb_col: str = "embedding",
+                         bucket_cap: int | None = 100_000) -> DataFrame:
     """Embedding near-duplicate pairs with an LSH candidate prefilter —
     the corpus-scale path replacing the O(n²) ``cosine_dup_pairs``:
     candidate pairs must collide in ≥1 of ``n_tables`` sign-projection
@@ -216,13 +243,20 @@ def cosine_dup_pairs_lsh(df: DataFrame, threshold: float = 0.9,
     then two joins back to fetch vectors for the surviving pairs only.
     Recall < 1 by construction; collision probability per table is
     (1−θ/π)^n_planes, amplified over tables — tune (n_planes,
-    n_tables) to the similarity band that must not be missed."""
+    n_tables) to the similarity band that must not be missed.
+    ``n_planes=None`` → ``auto_n_planes`` (corpus-size-derived);
+    ``bucket_cap`` drops degenerate buckets observably before the
+    self-join."""
     dim = len(df.select(emb_col).first()[0])
+    if n_planes is None:
+        n_planes = auto_n_planes(df.count())
     buckets_udf = lsh_table_buckets_udf(dim, n_tables, n_planes, seed)
     ids = df.select(
         F.col(id_col).alias("id"),
         F.explode(buckets_udf(F.col(emb_col))).alias("bucket"),
     )
+    if bucket_cap is not None:
+        ids = cap_hot_buckets(ids, ["bucket"], bucket_cap)
     cand = (
         ids.alias("x")
         .join(ids.alias("y"), "bucket")
