@@ -96,12 +96,36 @@ def ensure_input(n_urls: int) -> str:
     into a cache dir and reuse it across reps and parallelism levels —
     it is the crawl's *input* (BASELINE input_hint), not work the
     crawler performs, so it is generated at full machine parallelism
-    regardless of the measured level."""
+    regardless of the measured level.
+
+    Concurrency: an O_EXCL lock file elects exactly one generator;
+    losers wait for the _READY marker instead of regenerating in place
+    (which could yank files out from under a crawl that symlinked the
+    cache). An atomic tmp-dir rename can't be used here: the catalog
+    manifests embed absolute data paths, so the dir must be built at
+    its final location."""
     base = os.environ.get("BENCH_INPUT_CACHE", tempfile.gettempdir())
     d = os.path.join(base, f"ycrawl_bench_input_{n_urls}")
     marker = os.path.join(d, "_READY")
+    lock = d + ".lock"
     if os.path.exists(marker):
         return d
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        # another process is generating — wait for its marker (stale
+        # locks from a crashed generator are broken after 10 min)
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            if os.path.exists(marker):
+                return d
+            if not os.path.exists(lock):
+                return ensure_input(n_urls)
+            time.sleep(2)
+        os.unlink(lock)
+        return ensure_input(n_urls)
+
     from ycrawl_spark import synth
     from ycrawl_spark.catalog import Catalog
     from ycrawl_spark.session import get_spark
@@ -119,6 +143,8 @@ def ensure_input(n_urls: int) -> str:
         return d
     finally:
         spark.stop()
+        if os.path.exists(lock):
+            os.unlink(lock)
 
 
 def bench_crawl(spark, n_urls: int, input_dir: str | None = None) -> dict:

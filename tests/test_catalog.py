@@ -34,6 +34,25 @@ def test_replace_supersedes_all_snapshots(spark, tmp_path):
     assert t.latest_epoch() == 3
 
 
+def test_rollback_uncommits_snapshot(spark, tmp_path):
+    """rollback drops one snapshot from the manifest AND its data dir —
+    the zero-yield-epoch un-commit path: latest_epoch must fall back
+    and later multi-path reads must not see an orphan dir."""
+    import os
+
+    t = Catalog(str(tmp_path)).table("log")
+    t.append(spark.createDataFrame([(1,)], "id int"), epoch=1)
+    s2 = t.append(spark.createDataFrame([], "id int"), epoch=2)
+    assert t.latest_epoch() == 2
+    dirs_before = [p for s in t.snapshots() for p in s.files]
+
+    t.rollback(s2)
+    assert t.latest_epoch() == 1
+    assert [r["id"] for r in t.read(spark).collect()] == [1]
+    gone = [p for p in dirs_before if not os.path.exists(p)]
+    assert len(gone) == 1  # exactly the rolled-back snapshot's dir
+
+
 def test_append_pdf_no_spark_job(spark, tmp_path):
     t = Catalog(str(tmp_path)).table("counters")
     t.append_pdf(pd.DataFrame({"host": ["h1", "h2"], "n": [3, 4]}), epoch=1)

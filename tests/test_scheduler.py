@@ -52,6 +52,25 @@ def test_global_pos_dense_and_ordered(spark):
     assert vals == sorted(vals)
 
 
+def test_mid_consecutive_within_partition(spark):
+    """Pin the one remaining assumption behind with_global_pos: within a
+    partition, monotonically_increasing_id values are CONSECUTIVE (so
+    _mid - min(_mid) is the local row index). The documented contract
+    only promises increasing+unique; if the implementation ever changes,
+    this fails loudly instead of producing wrong ordinals."""
+    df = spark.createDataFrame([(i,) for i in range(5000)], "v int")
+    parts = (
+        df.repartitionByRange(8, "v").sortWithinPartitions("v")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count("*").alias("n"),
+             (F.max("_mid") - F.min("_mid") + 1).alias("span"))
+        .collect()
+    )
+    assert parts and all(r["n"] == r["span"] for r in parts)
+
+
 def test_batch_mod_filter(spark):
     df = spark.createDataFrame([(f"20260816_H{i:04d}",) for i in range(1, 101)],
                                "key string")

@@ -117,6 +117,22 @@ class Table:
         self._commit(snaps)
         return snap_id
 
+    def rollback(self, snapshot_id: str) -> None:
+        """Drop one committed snapshot from the manifest and delete its
+        data files (Iceberg expire-snapshot analog). The epoch loop uses
+        this to un-commit a zero-row append: leaving it would advance
+        ``latest_epoch`` (shifting resume numbering) and add a part-
+        file-less dir to every later multi-path read."""
+        import shutil
+
+        snaps = self.snapshots()
+        keep = [s for s in snaps if s.snapshot_id != snapshot_id]
+        dropped = [s for s in snaps if s.snapshot_id == snapshot_id]
+        self._commit(keep)
+        for s in dropped:
+            for d in s.files:
+                shutil.rmtree(d, ignore_errors=True)
+
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
         """Union of all snapshot data up to ``as_of`` (time travel)."""
         snaps = self.snapshots()

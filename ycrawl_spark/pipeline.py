@@ -163,6 +163,11 @@ def _fetch_commit(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     m = obs.get
     n_selected = int(m["fetched"] or 0)
     if n_selected == 0:
+        # Un-commit the empty snapshot: the Observation only reports
+        # after the append's action ran, and a zero-row commit would
+        # advance latest_epoch (shifting resume numbering) and leave a
+        # part-file-less dir in every later multi-path read.
+        cat.table("fetch_log").rollback(snap_id)
         return EpochStats(epoch, n_cand, 0, 0, 0), None
     stats = EpochStats(epoch, n_cand, n_selected,
                        int(m["ok"] or 0), int(m["err"] or 0))
@@ -363,7 +368,16 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
     sharded = cfg.bloom_backend == "sharded"
     bloom = None
     shards = None
-    if use_bloom and (not incremental or seen_agg is not None):
+    # Incremental mode consults the filter exactly once (resume entry),
+    # and apply_seen_state only gates when n_seen_hint >= bloom_min_items
+    # — so a small-resume O(seen) filter build would be pure waste.
+    # Regenerate mode still builds eagerly: gating can engage mid-crawl
+    # as the seen set grows past the threshold.
+    if use_bloom and (
+        not incremental
+        or (seen_agg is not None
+            and n_seen_hint >= max(cfg.bloom_min_items, 1))
+    ):
         if sharded:
             if seen_agg is not None and n_seen_hint > 0:
                 # Resume fast-path: the durable shard table (written at

@@ -149,11 +149,15 @@ def crawl_shuffle_order(selected: DataFrame, cfg: CrawlConfig, epoch: int) -> Da
 def with_global_pos(df: DataFrame, order_cols: list[str], out_col: str = "pos") -> DataFrame:
     """Dense 0-based global position under ``order_cols`` — scalable.
 
-    Range-partition by the order and sort within partitions, then read
-    the partition id and local row index straight out of
-    ``monotonically_increasing_id`` (``pid << 33 | row_index`` in
-    iteration order, which IS the sorted order here) — no window over
-    the data at all. Per-partition offsets are a count-prefix-sum over
+    Range-partition by the order and sort within partitions; the
+    partition id comes from ``spark_partition_id()`` (guaranteed API)
+    and the within-partition index from ``monotonically_increasing_id``
+    relative to its per-partition minimum — which relies only on the
+    documented "monotonically increasing within a partition" contract
+    plus consecutiveness, NOT on the ``pid << 33 | row`` bit layout the
+    round-1 code decoded (an implementation detail that would break
+    silently if it changed; pinned by a test instead). No window over
+    the data at all: per-partition offsets are a count-prefix-sum over
     the tiny pid dim (≤ one row per partition), broadcast back. The
     data pays exactly one shuffle (the range exchange, reused across
     the two branches by AQE exchange reuse); the only single-partition
@@ -166,12 +170,11 @@ def with_global_pos(df: DataFrame, order_cols: list[str], out_col: str = "pos") 
         df.repartitionByRange(*cols)
         .sortWithinPartitions(*cols)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
-        .withColumn("_lr", F.expr(f"_mid & {(1 << 33) - 1}"))
+        .withColumn("_pid", F.spark_partition_id())
     )
     offsets = (
         base.groupBy("_pid")
-        .agg(F.count("*").alias("_n"))
+        .agg(F.count("*").alias("_n"), F.min("_mid").alias("_min_mid"))
         .withColumn(
             "_off",
             F.coalesce(
@@ -181,12 +184,15 @@ def with_global_pos(df: DataFrame, order_cols: list[str], out_col: str = "pos") 
                 F.lit(0),
             ),
         )
-        .select("_pid", "_off")
+        .select("_pid", "_off", "_min_mid")
     )
     return (
         base.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lr")).cast("long"))
-        .drop("_pid", "_lr", "_mid", "_off")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.col("_mid") - F.col("_min_mid")).cast("long"),
+        )
+        .drop("_pid", "_mid", "_off", "_min_mid")
     )
 
 
