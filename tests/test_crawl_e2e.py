@@ -117,6 +117,29 @@ def test_sharded_bloom_backend_identical(spark, tmp_path_factory, crawl_run):
         assert seen_sets(spark, wd, cfg) == seen_sets(spark, wd_ref, CFG)
 
 
+def test_distributed_counter_sink_identical(spark, tmp_path_factory, crawl_run):
+    """Above cfg.counter_collect_max hosts the per-epoch lineage
+    counters append through a distributed write instead of a driver
+    collect; both paths must leave identical checkpoint-table contents
+    (and identical crawl results)."""
+    from ycrawl_spark.catalog import Catalog
+
+    wd_ref, _ = crawl_run  # collect path (n_hosts=12 < default max)
+    cfg = CrawlConfig(**{**CFG.__dict__, "counter_collect_max": 0})
+    wd = str(tmp_path_factory.mktemp("c_dist_counters"))
+    run_crawl(spark, cfg, wd, use_bloom=True)
+    assert crawl_order(spark, wd) == crawl_order(spark, wd_ref)
+
+    def counter_rows(w):
+        df = Catalog(w).table("checkpoint").read(spark)
+        return sorted(
+            (r["canonical_host"], r["epoch"], r["fetched"], r["ok"], r["err"])
+            for r in df.collect()
+        )
+
+    assert counter_rows(wd) == counter_rows(wd_ref)
+
+
 def test_sharded_resume_uses_durable_shards(spark, tmp_path_factory, crawl_run):
     """Regenerate+sharded resume: the durable bloom_shards snapshot
     (written at exit, labelled with fetch_log's epoch) is loaded on

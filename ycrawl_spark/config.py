@@ -83,6 +83,13 @@ class CrawlConfig:
     # frontier build (north_rule robots budget).
     robots_disallow: tuple[str, ...] = ("/private/",)
 
+    # Per-epoch per-host lineage counters: below this host count they
+    # collect to the driver and append as one tiny parquet (no Spark
+    # write job — cheapest for the sandbox's 10^4 hosts); above it the
+    # counters stay distributed and append through a regular Spark
+    # write, because a 10^8-host collect would be a driver OOM.
+    counter_collect_max: int = 100_000
+
     extra: dict = field(default_factory=dict, compare=False)
 
     @property

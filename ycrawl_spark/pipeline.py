@@ -173,23 +173,27 @@ def _fetch_commit(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
                        int(m["ok"] or 0), int(m["err"] or 0))
 
     delta = cat.table("fetch_log").read_snapshot(spark, snap_id)
-    counter_rows = (
-        delta.groupBy("canonical_host")
-        .agg(
-            F.count("*").alias("fetched"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-            F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err"),
+    counters = delta.groupBy("canonical_host").agg(
+        F.count("*").alias("fetched"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err"),
+    )
+    if cfg.n_hosts > cfg.counter_collect_max:
+        # Web-scale host cardinality: the counters never visit the
+        # driver — distributed append (same schema, same table).
+        cat.table("checkpoint").append(
+            counters.withColumn("epoch", F.lit(epoch).cast("long")), epoch=epoch,
         )
-        .collect()
-    )
-    cat.table("checkpoint").append_pdf(
-        pd.DataFrame(
-            [(r["canonical_host"], r["fetched"], r["ok"], r["err"], epoch)
-             for r in counter_rows],
-            columns=["canonical_host", "fetched", "ok", "err", "epoch"],
-        ),
-        epoch=epoch,
-    )
+    else:
+        counter_rows = counters.collect()
+        cat.table("checkpoint").append_pdf(
+            pd.DataFrame(
+                [(r["canonical_host"], r["fetched"], r["ok"], r["err"], epoch)
+                 for r in counter_rows],
+                columns=["canonical_host", "fetched", "ok", "err", "epoch"],
+            ),
+            epoch=epoch,
+        )
     return stats, delta
 
 

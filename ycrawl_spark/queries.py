@@ -500,6 +500,38 @@ def pivot_event_counts(spark, sf_dir):
 
 
 @query(
+    "pivot_event_counts_dynamic",
+    """
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_counts_dynamic(spark, sf_dir):
+    """Dynamic pivot: pass 1 discovers the value set from the data
+    (sorted distinct — a bounded dim), pass 2 pivots with that explicit
+    list. The reference's client-side pivot discovers columns from data
+    (historyplot.py:99-100); Spark's implicit pivot would too, but via
+    an unbounded driver-side distinct — the two-pass form keeps the
+    column set deterministic and the collect bounded. The oracle pins
+    the discovered set (= the 5 known types at every SF)."""
+    e = load(spark, sf_dir, "events")
+    vals = sorted(
+        r["event_type"] for r in e.select("event_type").distinct().collect()
+    )
+    return (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .pivot("event_type", vals)
+        .count()
+        .na.fill(0, vals)
+    )
+
+
+@query(
     "sessionize_users",
     """
     WITH gaps AS (
@@ -1612,6 +1644,22 @@ def scan_files_accounting(spark, sf_dir):
         .groupBy("file")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+@query("scan_bytes_dryrun")  # parquet-footer metadata → no SQL oracle
+# over the registered views (rows-only; byte totals pinned against the
+# OS in tests/test_metrics.py)
+def scan_bytes_dryrun(spark, sf_dir):
+    """Byte-level dry-run scan cost — the reference's
+    ``total_bytes_processed`` metering (historyplot.py:62,83,120):
+    per-file bytes a 2-column projection of lineitem will actually
+    read (column-chunk compressed sizes from parquet footers, computed
+    distributed via mapInPandas — see metrics.scan_cost), next to the
+    full file size. Complements the row-level ``scan_files_accounting``."""
+    from .metrics import scan_cost
+
+    li = load(spark, sf_dir, "lineitem")
+    return scan_cost(spark, li, columns=["l_orderkey", "l_extendedprice"])
 
 
 @query(
