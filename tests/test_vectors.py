@@ -62,6 +62,27 @@ def test_ivf_recall_vs_exact(spark, emb):
     assert _recall(approx, exact) >= 0.5
 
 
+def test_ivf_lloyd_refinement_improves_recall_per_candidate(spark, emb):
+    """Lloyd iterations must pay for themselves: at the same probe
+    budget, refined centroids give equal-or-better recall while
+    scanning no more candidates (deterministic on the seeded data:
+    recall 0.45 → 0.525 and 140 → 112 scanned at n_probe=2)."""
+    exact = _topk_sets(vectors.cosine_topk(emb, QUERY_IDS, k=K))
+
+    def run(iters):
+        approx = _topk_sets(vectors.ivf_ann_topk(
+            emb, QUERY_IDS, k=K, n_cells=8, n_probe=2, lloyd_iters=iters))
+        scanned = vectors.ivf_ann_topk(
+            emb, [QUERY_IDS[0]], k=10**6, n_cells=8, n_probe=2,
+            lloyd_iters=iters).count()
+        return _recall(approx, exact), scanned
+
+    r0, s0 = run(0)
+    r2, s2 = run(2)
+    assert r2 >= r0
+    assert s2 <= s0
+
+
 def test_ivf_probes_fraction_of_data(spark, emb):
     """The IVF plan's value is candidate reduction: with n_probe=1 of 8
     cells, each query must score far fewer candidates than brute force."""

@@ -285,56 +285,96 @@ def cosine_dup_pairs_lsh(df: DataFrame, threshold: float = 0.9,
     )
 
 
-def ivf_ann_topk(df: DataFrame, query_ids: list[int], k: int = 3,
-                 n_cells: int = 8, n_probe: int = 2, seed: int = 42,
-                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """IVF-flat approximate NN: partition vectors into inverted cells
-    around deterministic centroids; queries probe the ``n_probe``
-    nearest cells and re-rank exactly inside them.
+def _centroid_cells_udf(cents: np.ndarray, n_out: int):
+    """Vectorized pandas UDF: the ``n_out`` nearest centroids (by
+    cosine, against unit centroids) per row — ONE numpy matmul per
+    Arrow batch, same fast-path rationale as ``lsh_table_buckets_udf``.
+    Replaces the round-1 per-centroid JVM aggregate expressions, whose
+    codegen grows O(C·dim) and stops being viable once C scales as
+    √n."""
+    import pandas as pd
 
-    Centroids are seeded picks from the data (hash-min sample) — at
-    10^9-vector scale this is the standard coarse quantizer shape:
-    centroid assignment is a broadcast of C·dim floats, the big table
-    shuffles once by cell, queries touch n_probe/C of the data.
-    """
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = cents / norms
+
+    @F.pandas_udf("array<int>")
+    def cells(emb):
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        rn = np.linalg.norm(mat, axis=1, keepdims=True)
+        rn[rn == 0] = 1.0
+        sims = (mat / rn) @ unit.T                       # batch × C
+        order = np.argsort(-sims, axis=1)[:, :n_out]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return cells
+
+
+def ivf_train_centroids(df: DataFrame, n_cells: int, lloyd_iters: int = 2,
+                        seed: int = 42, id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> np.ndarray:
+    """Coarse-quantizer training: seeded hash-min sample of ``n_cells``
+    rows, refined by ``lloyd_iters`` distributed k-means iterations
+    (assign via the matmul UDF; per-cell means via posexplode →
+    groupBy(cell, dim) avg — map-side combined, the shuffle carries
+    C·dim rows). The driver holds only the C×dim centroid matrix
+    (√n·dim floats — ~16 MB at 10⁹ vectors), exactly the IVF layout."""
+    dim = len(df.select(emb_col).first()[0])
     rows = (
         df.orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
         .limit(n_cells).select(emb_col).collect()
     )
-    cents = [np.asarray(r[0], dtype=np.float64) for r in rows]
-    cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
+    cents = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    for _ in range(lloyd_iters):
+        assign_udf = _centroid_cells_udf(cents, 1)
+        means = (
+            df.select(assign_udf(F.col(emb_col))[0].alias("cell"),
+                      F.posexplode(_as_double(emb_col)).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        touched = {r["cell"] for r in means}
+        for c in touched:
+            new[c] = np.zeros(dim)
+        for r in means:
+            new[r["cell"]][r["pos"]] = r["m"]
+        cents = new
+    return cents
 
-    def cell_expr(prefix_norm_col: str, emb: str):
-        # nearest centroid by cosine = argmax of dot with unit centroids
-        scored = [
-            F.struct(
-                (-F.aggregate(
-                    F.zip_with(
-                        _as_double(emb),
-                        F.array(*[F.lit(float(v)) for v in c]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0), lambda acc, v: acc + v,
-                ) / F.col(prefix_norm_col)).alias("negdot"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
-        return F.array_sort(F.array(*scored))
 
+def ivf_ann_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+                 n_cells: int | None = None, n_probe: int = 2,
+                 lloyd_iters: int = 2, seed: int = 42,
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """IVF-flat approximate NN: partition vectors into inverted cells
+    around Lloyd-refined centroids; queries probe the ``n_probe``
+    nearest cells and re-rank exactly inside them.
+
+    The standard 10^9-vector layout: centroid assignment broadcasts
+    C·dim floats inside an Arrow UDF, the big table shuffles once by
+    cell, queries touch ~n_probe/C of the data. ``n_cells=None`` →
+    ~√n cells (the textbook IVF sizing); ``lloyd_iters`` k-means
+    refinements sharpen the cells so fewer probes reach the same
+    recall (seeded sample alone was the round-1 crude quantizer).
+    """
+    if n_cells is None:
+        n_cells = max(8, math.isqrt(max(df.count(), 1)))
+    cents = ivf_train_centroids(df, n_cells, lloyd_iters, seed, id_col, emb_col)
     base = with_norm(df, emb_col).withColumn(
-        "cell", cell_expr("norm", emb_col)[0]["cell"]
+        "cell", _centroid_cells_udf(cents, 1)(F.col(emb_col))[0]
     ).select(
         F.col(id_col).alias("neighbor_id"), _as_double(emb_col).alias("emb_n"),
         F.col("norm").alias("norm_n"), "cell",
     )
     queries = (
         with_norm(df.filter(F.col(id_col).isin(query_ids)), emb_col)
-        .withColumn("cells", F.slice(cell_expr("norm", emb_col), 1, n_probe))
+        .withColumn("cells", _centroid_cells_udf(cents, n_probe)(F.col(emb_col)))
         .select(
             F.col(id_col).alias("query_id"), _as_double(emb_col).alias("emb_q"),
             F.col("norm").alias("norm_q"),
-            F.explode(F.transform("cells", lambda s: s["cell"])).alias("cell"),
+            F.explode("cells").alias("cell"),
         )
     )
     dot = F.aggregate(
