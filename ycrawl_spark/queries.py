@@ -1646,6 +1646,18 @@ def scan_files_accounting(spark, sf_dir):
     )
 
 
+@query("bpe_real_token_stats")  # iterative learned merges → no SQL oracle
+# (rows-only; exact equivalence vs a pure-Python BPE in tests/test_bpe.py)
+def bpe_real_token_stats(spark, sf_dir):
+    """Per-doc token counts under a BPE tokenizer LEARNED from this
+    corpus (distributed merge training over the word-frequency table,
+    textops.bpe_train) — the real-vocabulary upgrade of the regex
+    pre-tokenizer in ``bpe_token_stats``."""
+    docs = load(spark, sf_dir, "documents")
+    merges = textops.bpe_train(docs, n_merges=10)
+    return textops.bpe_real_token_stats(docs, merges)
+
+
 @query("scan_bytes_dryrun")  # parquet-footer metadata → no SQL oracle
 # over the registered views (rows-only; byte totals pinned against the
 # OS in tests/test_metrics.py)

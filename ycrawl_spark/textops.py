@@ -415,6 +415,120 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _merge_apply_col(syms_col, a: str, b: str):
+    """One greedy left-to-right BPE merge pass (a,b)→ab over a symbol
+    array, as a JVM ``aggregate`` fold: if the last emitted symbol is
+    ``a`` and the next is ``b``, replace it with ``ab``, else emit.
+    Identical semantics to the classic pure-Python merge loop (the
+    equivalence is pinned in tests/test_bpe.py)."""
+    return F.aggregate(
+        syms_col,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _word_symbols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wc, syms): the distinct-word frequency table BPE trains
+    on — the standard trick that makes BPE training corpus-size-
+    independent: all counting happens on vocab-sized data, weighted by
+    word frequency, never on the raw corpus again."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("syms", F.filter(F.split("word", ""), lambda x: x != ""))
+    )
+
+
+def bpe_train(df: DataFrame, n_merges: int = 12,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Learned BPE merge table, trained DISTRIBUTED: each iteration
+    counts adjacent symbol pairs over the word-frequency table (explode
+    → groupBy pair → weighted sum, map-side combined), the driver takes
+    the argmax (deterministic tie-break: count desc, pair asc), and the
+    merge is applied as a JVM fold. Per iteration the driver moves ONE
+    row; the vocab table is localCheckpoint'ed so lineage stays flat
+    across iterations. Corpus size only matters in the initial word
+    count — the loop is O(vocab) per merge, the property that lets BPE
+    training run over 100 TB of text.
+
+    This is the real learned tokenizer the round-1 ``bpe_token_stats``
+    (a GPT-2-style regex *pre*-tokenizer) was not."""
+    words = _word_symbols(df, text_col).localCheckpoint()
+    pair = F.expr(
+        "zip_with(slice(syms, 1, size(syms) - 1), "
+        "slice(syms, 2, size(syms) - 1), (x, y) -> concat(x, ' ', y))"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            words.select(F.col("wc"), F.explode(pair).alias("p"))
+            .groupBy("p").agg(F.sum("wc").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["n"] < 2:
+            break
+        a, b = best[0]["p"].split(" ", 1)
+        merges.append((a, b))
+        words = words.withColumn(
+            "syms", _merge_apply_col(F.col("syms"), a, b)
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_word_tokens(df: DataFrame, merges: list[tuple[str, str]],
+                    text_col: str = "text",
+                    checkpoint_every: int = 4) -> DataFrame:
+    """(word, wc, syms) after applying the full merge list in order.
+    Merges chain as nested folds; the plan is re-materialized every
+    ``checkpoint_every`` merges so codegen never sees an unboundedly
+    nested expression."""
+    words = _word_symbols(df, text_col)
+    for i, (a, b) in enumerate(merges):
+        words = words.withColumn("syms", _merge_apply_col(F.col("syms"), a, b))
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return words
+
+
+def bpe_real_token_stats(df: DataFrame, merges: list[tuple[str, str]],
+                         text_col: str = "text") -> DataFrame:
+    """Per-doc token counts under a LEARNED BPE merge list: tokenize
+    each distinct word once (vocab-sized work), then broadcast-join the
+    per-word subword count back onto the exploded corpus — the raw text
+    is touched exactly once and never carries arrays through a shuffle."""
+    word_tok = bpe_word_tokens(df, merges, text_col).select(
+        "word", F.size("syms").alias("n_sub")
+    )
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        toks.join(F.broadcast(word_tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+            F.count("*").alias("n_ws_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 4),
+        )
+    )
+
+
 def char_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Character-class quality signals: length, punctuation density,
     digit density, mean word length — standard training-data filters
