@@ -67,3 +67,42 @@ def test_video_frame_sample_fanout(spark):
     assert sorted(r["frame_idx"] for r in frames) == [0, 4, 8, 12]
     f0 = [r for r in frames if r["frame_idx"] == 0][0]
     assert bytes(f0["frame"]) == video[:frame_bytes]
+
+
+def test_image_phash_near_dups_exact_vs_bruteforce(spark):
+    """Distributed phash block-LSH pair join == brute-force all-pairs
+    hamming on identical inputs, and the planted near-dups are found."""
+    import itertools
+
+    from ycrawl_spark import synth, textops
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=120, n_hosts=4)
+    dup_every = 4
+    feats = multimodal.image_features(
+        synth.near_dup_images_df(spark, cfg, dup_every=dup_every)
+    )
+    sketch = feats.select(F.col("image_id").alias("doc_id"), "phash")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in textops.simhash_near_dups_from_sketch(
+            sketch, max_hamming=6, sketch_col="phash"
+        ).collect()
+    }
+
+    rows = [synth.make_near_dup_image_row(i, dup_every) for i in range(cfg.n_urls)]
+    mask = (1 << 64) - 1
+    expect = set()
+    for a, b in itertools.combinations(rows, 2):
+        hm = bin((a["phash"] ^ b["phash"]) & mask).count("1")
+        if hm <= 6:
+            lo, hi = sorted((a["image_id"], b["image_id"]))
+            expect.add((lo, hi, hm))
+    assert got == expect
+
+    planted = {
+        tuple(sorted((r["dup_of"], r["image_id"]))) for r in rows if r["dup_of"]
+    }
+    found = {(a, b) for a, b, _ in got}
+    assert len(planted) >= 25
+    assert len(planted & found) >= 0.8 * len(planted)

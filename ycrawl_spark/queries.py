@@ -692,8 +692,19 @@ def minhash_lsh_candidates(spark, sf_dir):
 
 @query("simhash_near_dups")  # bit-majority sketch → no SQL oracle (rows-only)
 def simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs via 16-bit block LSH + exact hamming."""
-    return textops.simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=16)
+    """SimHash near-dup pairs via threshold-derived block LSH (9 blocks
+    for h=8 — guaranteed recall by pigeonhole) + exact hamming.
+
+    Threshold note: round 1 registered max_hamming=16, which *looked*
+    cheap only because the fixed 4-block prefilter silently dropped
+    most qualifying pairs. With recall now guaranteed, hamming ≤ 16/64
+    admits ~33% of ALL pairs on this corpus — that is not a near-dup
+    query. 8 is the meaningful dedup radius (~0.7% of pairs at sf0.1);
+    the operator itself handles any threshold and is recall-tested at
+    4–16 in tests/test_dedup.py."""
+    return textops.simhash_near_dups(
+        load(spark, sf_dir, "documents"), max_hamming=8, bucket_cap=10_000
+    )
 
 
 @query("rolling_fingerprint")  # xxhash64-based → no SQL oracle (rows-only)
@@ -1474,6 +1485,26 @@ def multimodal_image_features(spark, sf_dir):
 
     cfg = _tiny_cfg()
     return multimodal.image_features(synth.images_df(spark, cfg))
+
+
+@query("image_phash_near_dups")  # binary decode + sketch LSH (rows-only)
+def image_phash_near_dups(spark, sf_dir):
+    """Image near-duplicate detection: decode binary payloads →
+    64-bit perceptual hash (Arrow mapInPandas) → the same
+    threshold-derived block-LSH + exact-hamming pair join the text
+    SimHash path uses (`textops.simhash_near_dups_from_sketch`) —
+    one dedup engine over both modalities. Planted near-dup images
+    (see synth.near_dup_images_df) make the result non-vacuous; exact
+    equality against brute-force all-pairs hamming is pinned in
+    tests/test_multimodal.py."""
+    from . import multimodal, synth, textops
+
+    cfg = _tiny_cfg()
+    feats = multimodal.image_features(synth.near_dup_images_df(spark, cfg))
+    sketch = feats.select(F.col("image_id").alias("doc_id"), "phash")
+    return textops.simhash_near_dups_from_sketch(
+        sketch, max_hamming=6, sketch_col="phash", bucket_cap=10_000
+    )
 
 
 # ─────────────── SURVEY §2 gap closure (round-1 tail) ───────────────

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from . import codecs
@@ -118,6 +119,69 @@ def images_df(spark, cfg: CrawlConfig, with_bytes: bool = True):
     return (
         spark.range(0, cfg.n_urls, numPartitions=n_parts)
         .mapInPandas(gen, schema=IMAGES_SCHEMA)
+    )
+
+
+def make_near_dup_image_row(i: int, dup_every: int) -> dict:
+    """Image row ``i``; every ``dup_every``-th row (i % dup_every == 1)
+    is a planted NEAR-DUPLICATE of row ``i-1``: the base pixels with one
+    8×8-grid block brightened. The perturbation flips the touched
+    block's phash bit plus the handful of borderline blocks the raised
+    global mean crosses — hamming distance is small (typically 1-5)
+    while unrelated noise images sit ~32 bits apart, so a phash-hamming
+    threshold separates planted pairs from chance cleanly.
+
+    Same derivation here and in the test's brute-force oracle — the
+    distributed LSH result is compared against exact all-pairs hamming
+    on identical inputs.
+    """
+    image_id = image_id_for(i)
+    if i % dup_every != 1 or i == 1:
+        row = codecs.make_image_row(image_id)
+        row["dup_of"] = None
+        return row
+    base_id = image_id_for(i - 1)
+    w, h = codecs.gen_dims(base_id)
+    px = codecs.gen_pixels(base_id, w, h).copy()
+    bh, bw = h // 8, w // 8
+    r = xxh64_str(f"perturb:{image_id}")
+    bi, bj = r % 8, (r >> 8) % 8
+    region = px[bi * bh:(bi + 1) * bh, bj * bw:(bj + 1) * bw]
+    px[bi * bh:(bi + 1) * bh, bj * bw:(bj + 1) * bw] = np.clip(
+        region.astype(np.int16) + 24, 0, 255
+    ).astype(np.uint8)
+    fmt = codecs.gen_fmt(image_id)
+    data = codecs.encode(px, fmt)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": codecs.gen_caption(base_id),  # dup keeps base caption
+        "phash": codecs.phash64(codecs.decode(data)),
+        "dup_of": base_id,
+    }
+
+
+NEAR_DUP_IMAGES_SCHEMA = IMAGES_SCHEMA + ", dup_of string"
+
+
+def near_dup_images_df(spark, cfg: CrawlConfig, dup_every: int = 4):
+    """Image table with planted near-duplicates (distributed build, same
+    shape as ``images_df`` plus a ``dup_of`` provenance column the
+    dedup tests use as ground truth)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                [make_near_dup_image_row(int(i), dup_every) for i in b["id"]]
+            )
+
+    n_parts = max(8, cfg.n_urls // 10_000)
+    return (
+        spark.range(0, cfg.n_urls, numPartitions=n_parts)
+        .mapInPandas(gen, schema=NEAR_DUP_IMAGES_SCHEMA)
     )
 
 
