@@ -149,3 +149,14 @@ def test_qr_cross_frontier_broadcasts_dims(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_training_data_prep_single_pass_no_joins(spark):
+    """The prep pipeline must be one pass over documents: per-row
+    features fused into the scan projection (no self-joins re-deriving
+    tokens), one window shuffle on the dedup fingerprint, one final
+    aggregate — at 100 TB any join here would re-shuffle the corpus."""
+    plan = plan_of(spark, "training_data_prep")
+    assert "Join" not in plan
+    # exactly one scan of the documents table
+    assert plan.count("documents.parquet") == 1

@@ -640,6 +640,49 @@ def exact_dedup_prefix(spark, sf_dir):
 
 
 @query(
+    "training_data_prep",
+    """
+    WITH feat AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROUND(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','data','row','key'))) * 1.0
+                   / len(string_split(text, ' ')), 4) AS stop_ratio,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS prefix_fp,
+             len(list_filter(string_split(text,' '),
+                 x -> x IN ('the','a','fast','slow'))) AS score_en,
+             len(list_filter(string_split(text,' '),
+                 x -> x IN ('sort','merge','filter','window'))) AS score_op,
+             len(list_filter(string_split(text,' '),
+                 x -> x IN ('query','table','scan','join'))) AS score_qu
+      FROM documents
+    ), lab AS (
+      SELECT *,
+             CASE WHEN score_en >= score_op AND score_en >= score_qu THEN 'en'
+                  WHEN score_op >= score_qu THEN 'op' ELSE 'qu' END AS lang_guess
+      FROM feat
+    ), kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY prefix_fp ORDER BY doc_id) AS rn
+        FROM lab) WHERE rn = 1
+    )
+    SELECT lang_guess, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           MIN(stop_ratio) AS min_stop_ratio, MAX(stop_ratio) AS max_stop_ratio
+    FROM kept
+    WHERE n_tokens >= 6 AND stop_ratio <= 0.5
+    GROUP BY lang_guess
+    """,
+)
+def training_data_prep(spark, sf_dir):
+    """End-to-end LLM training-data prep pipeline in one pass:
+    tokenize once → language ID + quality + dedup fingerprint →
+    exact dedup → quality gates → per-language corpus rollup.
+    One wide shuffle (dedup fp) + a tiny map-side-combined aggregate —
+    the composition shape a 100 TB corpus prep job needs."""
+    return textops.prep_training_data(load(spark, sf_dir, "documents"))
+
+
+@query(
     "posexplode_tokens",
     """
     SELECT * FROM (

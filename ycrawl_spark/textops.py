@@ -117,6 +117,63 @@ def exact_dedup_groups(df: DataFrame, n_prefix: int = 5, text_col: str = "text")
     )
 
 
+def prep_training_data(df: DataFrame, n_prefix: int = 5,
+                       min_tokens: int = 6, max_stop_ratio: float = 0.5,
+                       text_col: str = "text") -> DataFrame:
+    """End-to-end training-data prep — the composition a real LLM
+    pipeline runs over a crawled corpus, expressed as ONE pass:
+
+      tokenize → per-row features (language ID, stopword quality,
+      token counts, dedup fingerprint) → exact dedup (keep min doc_id
+      per prefix fingerprint) → quality gates → per-language rollup.
+
+    Scale shape: the per-row features are a single narrow projection
+    (tokens derived once, no self-joins — the standalone operators
+    each re-tokenize because they are independent query entry points);
+    the only wide shuffle is the dedup window on ``prefix_fp``, and the
+    final per-language aggregate is map-side combined into a handful of
+    rows. At 100 TB this is one shuffle of (doc_id, fp, 4 ints),
+    nothing else.
+    """
+    t = with_tokens(df, text_col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    langs = sorted(LANG_MARKERS)
+    feat = t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.round(
+            F.size(F.filter("tokens", lambda x: F.array_contains(stop, x)))
+            / F.size("tokens"), 4,
+        ).alias("stop_ratio"),
+        F.md5(F.array_join(F.slice("tokens", 1, n_prefix), " ")).alias("prefix_fp"),
+        *[
+            F.size(F.filter("tokens", lambda x: x.isin(*LANG_MARKERS[l])))
+            .alias(f"score_{l}")
+            for l in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        guess = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(guess)
+    feat = feat.withColumn("lang_guess", guess)
+    w = W.partitionBy("prefix_fp").orderBy("doc_id")
+    kept = feat.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    gated = kept.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stop_ratio") <= max_stop_ratio)
+    )
+    return (
+        gated.groupBy("lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("stop_ratio").alias("min_stop_ratio"),
+            F.max("stop_ratio").alias("max_stop_ratio"),
+        )
+    )
+
+
 def cap_hot_buckets(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     """Document-frequency cap for bucket self-joins: drop every row of a
     bucket with more than ``cap`` members BEFORE pairing.
