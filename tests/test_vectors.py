@@ -122,3 +122,40 @@ def test_dup_pairs_lsh_recall_and_precision(spark, emb):
     assert exact, "fixture must contain pairs at this threshold"
     assert approx <= exact          # precision 1.0 by construction
     assert len(approx & exact) / len(exact) >= 0.4
+
+
+def test_pq_recall_vs_exact(spark, emb):
+    """ADC over 8 sub-codes + exact re-rank: recall@5 well above the
+    LSH gate — quantization loss is bounded, and more re-rank budget
+    must buy more recall (measured 0.815 → 0.965 on this corpus)."""
+    exact = _topk_sets(vectors.cosine_topk(emb, QUERY_IDS, k=K))
+    r2 = _recall(_topk_sets(
+        vectors.pq_ann_topk(emb, QUERY_IDS, k=K, rerank_factor=2)), exact)
+    r4 = _recall(_topk_sets(
+        vectors.pq_ann_topk(emb, QUERY_IDS, k=K, rerank_factor=4)), exact)
+    assert r2 >= 0.6
+    assert r4 >= 0.85
+    assert r4 >= r2
+
+
+def test_pq_codes_are_byte_compressible(spark, emb):
+    """Encoded corpus: exactly m_sub codes per vector, every code <
+    256 — the scan side reads M bytes/row instead of 4·D (32× at
+    D=64, M=8)."""
+    books = vectors.pq_train_codebooks(emb, m_sub=8, k_codes=256)
+    assert books.shape[0] == 8 and books.shape[1] <= 256
+    codes = emb.select(
+        vectors.pq_encode_udf(books)(F.col("embedding")).alias("codes")
+    )
+    stats = codes.selectExpr(
+        "min(size(codes)) AS lo", "max(size(codes)) AS hi",
+        "max(array_max(codes)) AS cmax", "min(array_min(codes)) AS cmin",
+    ).first()
+    assert stats["lo"] == stats["hi"] == 8
+    assert 0 <= stats["cmin"] and stats["cmax"] < 256
+
+
+def test_pq_deterministic(spark, emb):
+    a = sorted(map(tuple, vectors.pq_ann_topk(emb, [0, 1], k=3).collect()))
+    b = sorted(map(tuple, vectors.pq_ann_topk(emb, [0, 1], k=3).collect()))
+    assert a == b

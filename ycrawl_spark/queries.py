@@ -1422,6 +1422,17 @@ def ivf_ann_topk(spark, sf_dir):
     )
 
 
+@query("pq_ann_topk")  # sample-trained codebooks → no SQL oracle (rows-only)
+def pq_ann_topk(spark, sf_dir):
+    """Product-quantization ANN: codebooks on a bounded sample,
+    distributed encode to M sub-codes, asymmetric-distance scan over
+    codes only (32x scan compression at D=64/M=8), exact re-rank of
+    the shortlist. Recall gates in tests/test_vectors.py."""
+    return vectors.pq_ann_topk(
+        load(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3,
+    )
+
+
 @query(
     "cosine_dup_pairs",
     """
