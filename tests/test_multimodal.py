@@ -106,3 +106,43 @@ def test_image_phash_near_dups_exact_vs_bruteforce(spark):
     found = {(a, b) for a, b, _ in got}
     assert len(planted) >= 25
     assert len(planted & found) >= 0.8 * len(planted)
+
+
+def test_audio_features_real_wav(spark):
+    """Real RIFF/WAVE parsing: rate+channels come from the container
+    (not the caller), samples round-trip exactly, and an interposed
+    unknown chunk (LIST) is skipped like real-world WAVs require."""
+    pcm = (np.sin(np.linspace(0, 50, 3200)) * 12000).astype(np.int16)
+    wav = codecs.encode_wav(pcm, sample_rate=8000, n_channels=2)
+    # splice a LIST chunk between fmt and data
+    fmt_end = wav.index(b"data")
+    chunk = b"LIST" + (6).to_bytes(4, "little") + b"INFOab"
+    wav_with_list = wav[:fmt_end] + chunk + wav[fmt_end:]
+    df = spark.createDataFrame(
+        [("wav1", bytearray(wav_with_list), 999)],  # 999 must be ignored
+        "clip_id string, bytes binary, sample_rate int",
+    )
+    r = multimodal.audio_features(df).first()
+    assert r["container"] == "wav"
+    assert r["sample_rate"] == 8000 and r["n_channels"] == 2
+    assert r["n_samples"] == 3200
+    assert r["duration_s"] == round(1600 / 8000, 4)
+    expect_rms = round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 4)
+    assert r["rms"] == expect_rms
+
+
+def test_video_frame_sample_real_y4m(spark):
+    """Real YUV4MPEG2 parsing: dims/colorspace from the header, frame
+    payloads byte-exact, every_n sampling on true frame boundaries."""
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (8, 6, 3), dtype=np.uint8) for _ in range(10)]
+    y4m = codecs.encode_y4m(frames, colorspace="C444")
+    df = spark.createDataFrame(
+        [("v1", bytearray(y4m))], "video_id string, bytes binary"
+    )
+    got = {r["frame_idx"]: r for r in
+           multimodal.video_frame_sample(df, every_n=3).collect()}
+    assert sorted(got) == [0, 3, 6, 9]
+    assert all(r["w"] == 6 and r["h"] == 8 and r["colorspace"] == "C444"
+               for r in got.values())
+    assert bytes(got[6]["frame"]) == frames[6].transpose(2, 0, 1).tobytes()

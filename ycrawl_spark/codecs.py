@@ -150,3 +150,113 @@ def make_image_row(image_id: str) -> dict:
         "caption": gen_caption(image_id),
         "phash": phash64(decode(data)),
     }
+
+
+# ───────────────────────── audio: WAV (RIFF) ─────────────────────────
+# Real container parsing — PCM WAV needs no codec library, just the
+# RIFF chunk walk. Reference scope analog: the reference treats fetched
+# payloads as opaque bytes handed to per-format cookers
+# (/root/reference/DataProcessor/cooker.py); here the audio cooker is
+# implemented for the one format that is honestly decodable with numpy.
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Minimal PCM16 WAV writer (test-fixture side of the codec)."""
+    if pcm.dtype != np.int16:
+        raise ValueError("pcm must be int16")
+    data = pcm.tobytes()
+    block_align = 2 * n_channels
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")                      # PCM
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE chunk walk → (sample_rate, n_channels, int16 samples
+    interleaved). Handles unknown chunks (LIST, fact, …) by skipping —
+    the part naive parsers get wrong. PCM16 only; anything else raises
+    (a compressed WAV would need a real codec library)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, n_channels, bits, fmt_tag, pcm = 12, None, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_tag is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_tag != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (fmt={fmt_tag}, bits={bits}): PCM16 only")
+    samples = np.frombuffer(pcm[: len(pcm) // 2 * 2], dtype="<i2")
+    return sample_rate, n_channels, samples
+
+
+# ──────────────────── video: Y4M (YUV4MPEG2) ────────────────────────
+# YUV4MPEG2 is the uncompressed interchange format ffmpeg itself uses
+# for piping — a text header plus raw planar frames, fully decodable
+# with numpy.
+
+_Y4M_PLANE_FACTOR = {"C420": 1.5, "C420jpeg": 1.5, "C420paldv": 1.5,
+                     "C422": 2.0, "C444": 3.0}
+
+
+def encode_y4m(frames: list[np.ndarray], fps: tuple[int, int] = (25, 1),
+               colorspace: str = "C444") -> bytes:
+    """Y4M writer for test fixtures; frames are (h, w, 3) uint8 YUV
+    (C444) or flat planes matching the colorspace factor."""
+    f0 = frames[0]
+    h, w = f0.shape[:2]
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n"
+    out = [head.encode()]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f.transpose(2, 0, 1).tobytes() if f.ndim == 3 else f.tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> tuple[int, int, str, list[bytes]]:
+    """Parse YUV4MPEG2 → (w, h, colorspace, raw frame payloads).
+
+    Walks the real stream structure: parameter header line, then
+    FRAME markers (each may carry its own parameters up to the
+    newline) followed by exactly plane_factor·w·h bytes."""
+    nl = data.index(b"\n")
+    head = data[:nl].decode("ascii", "replace").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    cs = "C420"
+    for tok in head[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            cs = tok
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    frame_bytes = int(_Y4M_PLANE_FACTOR.get(cs, 1.5) * w * h)
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        fnl = data.index(b"\n", pos)
+        frames.append(data[fnl + 1:fnl + 1 + frame_bytes])
+        pos = fnl + 1 + frame_bytes
+    return w, h, cs, frames

@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata, processed by Arrow-batched mapInPandas.
 
-The image codec path is REAL (ycrawl_spark.codecs, numpy). Audio/video
-decode would need libs this container doesn't ship (ffmpeg, soundfile)
-— those decode steps are STUBBED behind import-tries with
-deterministic numpy fakes, while the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested.
+The image codec path is REAL (ycrawl_spark.codecs, numpy). Audio and
+video are real for the uncompressed container formats that are
+honestly decodable without codec libraries: PCM WAV (RIFF chunk walk)
+and YUV4MPEG2 (the raw interchange format ffmpeg pipes) — see
+codecs.decode_wav / decode_y4m. Compressed formats (mp3/aac, h264/vp9)
+would need libs this container doesn't ship; payloads that aren't a
+known container fall back to the documented deterministic raw
+interpretation (bytes = int16 PCM / fixed-size frame concatenation),
+so the Spark-side plumbing is exercised either way.
 """
 
 from __future__ import annotations
@@ -32,7 +36,10 @@ IMAGE_FEATURES_SCHEMA = (
 
 THUMB_SCHEMA = "image_id string, thumb binary, tw int, th int"
 
-FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, frame binary"
+FRAME_SAMPLE_SCHEMA = (
+    "video_id string, frame_idx int, frame binary, w int, h int, "
+    "colorspace string"
+)
 
 
 def image_features(images: DataFrame) -> DataFrame:
@@ -83,48 +90,76 @@ def image_resize(images: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(run, THUMB_SCHEMA)
 
 
-def audio_features(audio: DataFrame) -> DataFrame:
-    """STUB: real decode needs an audio lib not in this container.
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, n_samples long, rms double, sample_rate int, "
+    "n_channels int, duration_s double, container string"
+)
 
-    Contract: input (clip_id string, bytes binary, sample_rate int) →
-    (clip_id, n_samples long, rms double). The deterministic fake
-    treats bytes as int16 PCM — which is exactly what the real
-    decode-free WAV path would do — so the plumbing is exercised.
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Audio decode + features. REAL path: PCM WAV via the RIFF chunk
+    walk (codecs.decode_wav) — rate/channels come from the container,
+    duration from the sample count. Non-WAV payloads fall back to the
+    raw-int16-PCM interpretation with the caller-supplied
+    ``sample_rate`` (compressed formats would need codec libs this
+    container doesn't ship).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
-            for cid, raw in zip(b["clip_id"], b["bytes"]):
-                pcm = np.frombuffer(bytes(raw)[: len(bytes(raw)) // 2 * 2], dtype=np.int16)
-                if pcm.size == 0:
-                    out.append((cid, 0, 0.0))
+            for cid, raw, in_rate in zip(b["clip_id"], b["bytes"], b["sample_rate"]):
+                rb = bytes(raw)
+                if rb[:4] == b"RIFF":
+                    rate, ch, pcm = codecs.decode_wav(rb)
+                    container = "wav"
                 else:
-                    out.append(
-                        (cid, int(pcm.size),
-                         round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 4))
-                    )
-            yield pd.DataFrame(out, columns=["clip_id", "n_samples", "rms"])
+                    rate, ch = int(in_rate), 1
+                    pcm = np.frombuffer(rb[: len(rb) // 2 * 2], dtype=np.int16)
+                    container = "raw"
+                if pcm.size == 0:
+                    out.append((cid, 0, 0.0, rate, ch, 0.0, container))
+                    continue
+                rms = round(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))), 4)
+                n_frames = pcm.size // ch
+                out.append((cid, int(pcm.size), rms, rate, ch,
+                            round(n_frames / rate, 4) if rate else 0.0, container))
+            yield pd.DataFrame(
+                out, columns=["clip_id", "n_samples", "rms", "sample_rate",
+                              "n_channels", "duration_s", "container"])
 
-    return audio.select("clip_id", "bytes").mapInPandas(
-        run, "clip_id string, n_samples long, rms double"
+    return audio.select("clip_id", "bytes", "sample_rate").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
     )
 
 
 def video_frame_sample(videos: DataFrame, every_n: int = 4,
                        frame_bytes: int = 256) -> DataFrame:
-    """STUB decode: real path needs ffmpeg. Fake container = raw
-    concatenation of fixed-size frames; samples every Nth frame.
-    Exercises the 1→N row fan-out (UDTF-shaped mapInPandas)."""
+    """Frame sampling (1→N row fan-out, UDTF-shaped mapInPandas).
+    REAL path: YUV4MPEG2 container (codecs.decode_y4m) — header gives
+    dims/colorspace, frames are exact plane payloads. Non-Y4M payloads
+    fall back to fixed-``frame_bytes`` chunking (compressed codecs —
+    h264 etc. — would need ffmpeg). Sampling keeps every
+    ``every_n``-th frame: at corpus scale this bounds the fan-out, and
+    the frame bytes stay inside the Arrow batch (never driver-side)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = []
             for vid, raw in zip(b["video_id"], b["bytes"]):
                 rb = bytes(raw)
+                if rb[:9] == b"YUV4MPEG2":
+                    w, h, cs, frames = codecs.decode_y4m(rb)
+                    for idx in range(0, len(frames), every_n):
+                        out.append((vid, idx, frames[idx], w, h, cs))
+                    continue
                 n_frames = len(rb) // frame_bytes
                 for idx in range(0, n_frames, every_n):
-                    out.append((vid, idx, rb[idx * frame_bytes:(idx + 1) * frame_bytes]))
-            yield pd.DataFrame(out, columns=["video_id", "frame_idx", "frame"])
+                    out.append((vid, idx,
+                                rb[idx * frame_bytes:(idx + 1) * frame_bytes],
+                                None, None, "raw"))
+            yield pd.DataFrame(
+                out, columns=["video_id", "frame_idx", "frame", "w", "h",
+                              "colorspace"])
 
     return videos.select("video_id", "bytes").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
