@@ -68,3 +68,24 @@ def test_truncate_then_read_none(spark, tmp_path):
     t.truncate()
     assert t.read(spark) is None
     assert t.latest_epoch() is None
+
+
+def test_compact_preserves_content_and_epoch(spark, tmp_path):
+    """rewrite_data_files + expire_snapshots analog: N snapshots → 1,
+    identical rows, latest_epoch preserved, old data dirs GC'd."""
+    import os
+
+    t = Catalog(str(tmp_path)).table("log")
+    for e in range(1, 5):
+        t.append(spark.range(e * 10, e * 10 + 5).toDF("id"), epoch=e)
+    before = sorted(r["id"] for r in t.read(spark).collect())
+    old_dirs = [p for s in t.snapshots() for p in s.files]
+    assert t.compact(spark) is not None
+    snaps = t.snapshots()
+    assert len(snaps) == 1
+    assert snaps[0].meta["compacted_from"] == 4
+    assert t.latest_epoch() == 4
+    assert sorted(r["id"] for r in t.read(spark).collect()) == before
+    assert not any(os.path.exists(d) for d in old_dirs)
+    # idempotent: a single-snapshot table has nothing to compact
+    assert t.compact(spark) is None

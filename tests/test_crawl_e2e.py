@@ -163,3 +163,22 @@ def test_sharded_resume_uses_durable_shards(spark, tmp_path_factory, crawl_run):
         cat.table("fetch_log").latest_epoch()
     assert crawl_order(spark, wd) == crawl_order(spark, wd_full)
     assert seen_sets(spark, wd, cfg) == seen_sets(spark, wd_full, CFG)
+
+
+def test_log_compaction_mode_identical(spark, tmp_path_factory, crawl_run):
+    """Crawling with per-3-epoch fetch_log compaction yields the exact
+    same crawl order + seen sets, keeps resume idempotent (selects 0 on
+    a finished workdir), and actually compacts (few live snapshots)."""
+    from ycrawl_spark.catalog import Catalog
+
+    wd_full, _ = crawl_run
+    wd = str(tmp_path_factory.mktemp("crawl_compact"))
+    cfg = CrawlConfig(**{**CFG.__dict__, "log_compact_every": 3})
+    stats = run_crawl(spark, cfg, wd, use_bloom=True)
+    assert crawl_order(spark, wd) == crawl_order(spark, wd_full)
+    assert seen_sets(spark, wd, cfg) == seen_sets(spark, wd_full, CFG)
+    n_epochs = len([s for s in stats if s.n_selected > 0])
+    n_snaps = len(Catalog(wd).table("fetch_log").snapshots())
+    assert n_snaps < n_epochs  # compaction really ran
+    again = run_crawl(spark, cfg, wd, use_bloom=True, resume=True)
+    assert sum(s.n_selected for s in again) == 0

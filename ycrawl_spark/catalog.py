@@ -133,6 +133,44 @@ class Table:
             for d in s.files:
                 shutil.rmtree(d, ignore_errors=True)
 
+    def compact(self, spark: SparkSession, min_snapshots: int = 2) -> str | None:
+        """Rewrite every live snapshot into ONE (Iceberg
+        ``rewrite_data_files`` + ``expire_snapshots`` analog).
+
+        A long crawl appends a snapshot per epoch; after 10^3 epochs a
+        read unions 10^3 path sets of small files — manifest growth and
+        file-open overhead, the classic small-files problem. Compaction
+        reads the union once, rewrites it (Spark's writer re-sizes the
+        files), and commits atomically; readers either see the old
+        manifest or the new one, never a mix, and superseded data dirs
+        are deleted only after the commit. ``latest_epoch`` is
+        preserved (resume numbering depends on it); per-snapshot time
+        travel before the compaction point is intentionally expired,
+        exactly like ``expire_snapshots``.
+
+        Returns the new snapshot id, or None if there was nothing to
+        compact (fewer than ``min_snapshots`` live snapshots).
+        """
+        import shutil
+
+        snaps = self.snapshots()
+        if len(snaps) < min_snapshots:
+            return None
+        old_dirs = [p for s in snaps for p in s.files]
+        epochs = [s.epoch for s in snaps if s.epoch is not None]
+        snap_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self.path, "data", snap_id)
+        spark.read.parquet(*old_dirs).write.mode("overwrite").parquet(data_dir)
+        self._commit([
+            Snapshot(snapshot_id=snap_id, sequence=0,
+                     epoch=max(epochs) if epochs else None,
+                     files=[data_dir],
+                     meta={"compacted_from": len(snaps)})
+        ])
+        for d in old_dirs:  # best-effort GC; manifest no longer references them
+            shutil.rmtree(d, ignore_errors=True)
+        return snap_id
+
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
         """Union of all snapshot data up to ``as_of`` (time travel)."""
         snaps = self.snapshots()

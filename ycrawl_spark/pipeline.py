@@ -454,6 +454,12 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
             cat.table("seen_agg").replace(seen_agg, epoch=epoch)
             if shards is not None:
                 cat.table("bloom_shards").replace(shards, epoch=epoch)
+        # fetch_log small-file compaction (opt-in): epoch-per-snapshot
+        # appends are rewritten into one snapshot every K epochs —
+        # bounded manifest/file-count at 10^3+-epoch crawls, content
+        # provably unchanged (latest_epoch preserved for resume).
+        if cfg.log_compact_every and epoch % cfg.log_compact_every == 0:
+            cat.table("fetch_log").compact(spark)
     # Final durable state snapshot so a warm resume needs no log rebuild
     # (labelled with the log's latest epoch — the staleness check in
     # load_seen_agg compares against fetch_log).
