@@ -52,7 +52,10 @@ HEADLINE = [
     "doc_token_stats",         # tokenize/quality text analysis
     "cosine_topk",             # brute-force ANN top-k
     "ann_lsh_topk",            # LSH-bucketed ANN
+    "pq_ann_topk",             # product-quantization ANN (ADC scan)
     "multimodal_image_features",  # binary payload decode plumbing
+    "image_phash_near_dups",   # image near-dup via phash block LSH
+    "training_data_prep",      # end-to-end corpus prep composition
 ]
 
 

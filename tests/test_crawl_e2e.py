@@ -182,3 +182,37 @@ def test_log_compaction_mode_identical(spark, tmp_path_factory, crawl_run):
     assert n_snaps < n_epochs  # compaction really ran
     again = run_crawl(spark, cfg, wd, use_bloom=True, resume=True)
     assert sum(s.n_selected for s in again) == 0
+
+
+def test_frontier_ingestion_crawls_only_delta(spark, tmp_path_factory):
+    """Mid-crawl URL discovery: ingest_frontier + resume schedules
+    exactly the novel URLs — no refetch of attempted keys, no frontier
+    rewrite; the entry seen-state anti-join does the filtering."""
+    import pandas as pd
+
+    from ycrawl_spark import codecs, synth
+    from ycrawl_spark.catalog import Catalog
+    from ycrawl_spark.pipeline import ingest_frontier
+
+    cfg = CrawlConfig(**{**CFG.__dict__, "n_urls": 300, "max_epochs": 30})
+    wd = str(tmp_path_factory.mktemp("crawl_ingest"))
+    run_crawl(spark, cfg, wd, use_bloom=True)
+    log_before = Catalog(wd).table("fetch_log").read(spark).count()
+    done0, forf0 = seen_sets(spark, wd, cfg)
+
+    new_urls = spark.createDataFrame(
+        synth.frontier_pdf(cfg, 300, 380), schema=synth.FRONTIER_SCHEMA)
+    new_images = spark.createDataFrame(
+        pd.DataFrame([codecs.make_image_row(synth.image_id_for(i))
+                      for i in range(300, 380)]),
+        schema=synth.IMAGES_SCHEMA)
+    assert ingest_frontier(spark, wd, new_urls, new_images) == 80
+    run_crawl(spark, cfg, wd, use_bloom=True, resume=True)
+
+    done1, forf1 = seen_sets(spark, wd, cfg)
+    new_keys = {r["key"]
+                for r in new_urls.filter("robots_ok").select("key").collect()}
+    assert done0 <= done1 and forf0 <= forf1
+    assert (done1 | forf1) - (done0 | forf0) == new_keys
+    log = Catalog(wd).table("fetch_log").read(spark)
+    assert log.filter(~F.col("key").isin(list(new_keys))).count() == log_before

@@ -482,6 +482,35 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
     return stats
 
 
+def ingest_frontier(spark: SparkSession, workdir: str, urls: DataFrame,
+                    images: DataFrame | None = None,
+                    epoch_added: int | None = None) -> int:
+    """Ingest newly discovered URLs (and their expected-image metadata)
+    into an existing crawl's frontier — the between-runs discovery path
+    (reference analog: the Coordinator regenerating its todo list from
+    fresh cross-products each tick, Coordinator/main.py:34-61).
+
+    Appends a frontier snapshot stamped with ``epoch_added`` (defaults
+    to the log's latest epoch so provenance survives); the next
+    ``run_crawl(..., resume=True)`` re-enters, and the entry-point
+    seen-state anti-join — the ONE place membership is unknown in
+    incremental mode — filters already-attempted keys, so exactly the
+    novel URLs are scheduled. No rewrite of the existing frontier, no
+    state rebuild beyond the entry join the resume pays anyway.
+
+    Returns the number of ingested rows.
+    """
+    cat = Catalog(workdir)
+    if epoch_added is None:
+        epoch_added = cat.table("fetch_log").latest_epoch() or 0
+    urls = urls.withColumn("epoch_added", F.lit(int(epoch_added)))
+    n = urls.count()
+    cat.table("frontier").append(urls, epoch=epoch_added)
+    if images is not None:
+        cat.table("images").append(images, epoch=epoch_added)
+    return n
+
+
 def read_parsed(spark: SparkSession, workdir: str) -> DataFrame:
     """The parsed/validated view over the wide fetch_log: ok rows with
     their decode features + per-row ``valid`` verdict. A narrow
