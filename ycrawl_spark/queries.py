@@ -1521,6 +1521,39 @@ def crawl_schedule_epoch1(spark, sf_dir):
     )
 
 
+@query(
+    "stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming drained with Trigger.AvailableNow ==
+    the batch aggregate — a REAL readStream→writeStream run whose
+    result the DuckDB oracle value-checks: watermarked tumbling-window
+    counts per event type over a file-source stream (the streaming
+    form of the reference's daily drift snapshot,
+    /root/reference/DataProcessor/drift.py:17-22)."""
+    import os
+    import shutil
+
+    from . import streaming
+
+    d = tempfile.mkdtemp(prefix="ycrawl_stream_q_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "part-000.parquet"))
+    stream = streaming.stream_source(spark, src, streaming.EVENTS_SCHEMA)
+    agg = streaming.windowed_counts(stream)
+    name = streaming.run_available_now(
+        agg, os.path.join(d, "ckpt"), out_mode="complete")
+    return spark.table(name)
+
+
 @query("crawl_e2e_parsed")
 def crawl_e2e_parsed(spark, sf_dir):
     """Full tiny crawl → validated parsed table (north_rule loop)."""
