@@ -198,6 +198,27 @@ class Table:
         self._commit([])
 
 
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 8, sort_by: str | None = None) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) by ``key`` — Spark's
+    co-located join layout. Two tables bucketed by the same key with
+    the same bucket count equi-join with ZERO shuffle: each task reads
+    matching bucket files from both sides (the plan audit in
+    tests/test_plans.py pins the absence of Exchange nodes).
+
+    This is the 100 TB answer for the frontier⋈images validation join
+    and the repeated host-keyed joins: bucket both tables by
+    canonicalized-host/image-id hash at write time and every epoch's
+    join is co-located (north_rule: 'frontier lives in Iceberg tables
+    bucketed by canonicalized-host hash'). Requires saveAsTable —
+    bucket metadata lives in the session catalog, which is exactly how
+    Spark models it on a real cluster (Iceberg bucket-partition
+    transforms are the storage-side equivalent)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    writer = writer.sortBy(sort_by or key)
+    writer.saveAsTable(table)
+
+
 class Catalog:
     """Namespace of tables under one base path (the crawl workdir)."""
 
