@@ -1554,6 +1554,23 @@ def stream_windowed_counts(spark, sf_dir):
     return spark.table(name)
 
 
+@query("robots_gate_split")  # crawl-domain synth input (rows-only)
+def robots_gate_split(spark, sf_dir):
+    """Distributed robots.txt parse (JVM split/posexplode + UA-group
+    window scoping) + zero-shuffle broadcast semi-join frontier gate;
+    verdict equality vs stdlib urllib.robotparser pinned in
+    tests/test_robots.py. Returns the blocked partition."""
+    from . import robots, synth
+
+    cfg = _tiny_cfg()
+    frontier = synth.frontier_df(spark, cfg)
+    rules = robots.parse_robots(
+        spark.createDataFrame(synth.robots_pdf(cfg),
+                              schema=robots.ROBOTS_SCHEMA))
+    _, blocked = robots.split_by_robots(frontier, rules)
+    return blocked.select("key", "url", "canonical_host")
+
+
 @query("crawl_e2e_parsed")
 def crawl_e2e_parsed(spark, sf_dir):
     """Full tiny crawl → validated parsed table (north_rule loop)."""

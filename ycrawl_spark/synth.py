@@ -185,6 +185,39 @@ def near_dup_images_df(spark, cfg: CrawlConfig, dup_every: int = 4):
     )
 
 
+def robots_txt_for(host: str, cfg: CrawlConfig) -> str:
+    """Deterministic per-host robots.txt exercising the grammar the
+    parser covers: a decoy group for another crawler (must NOT apply),
+    comments, blank lines, the cfg-level disallows for ``*``, a
+    host-specific extra prefix on every third host, and the empty
+    ``Disallow:`` (allow-all, must parse to no rule) on every fifth.
+    """
+    h = xxh64_str(f"robots:{host}:{cfg.seed}")
+    lines = [
+        "# synthetic robots fixture",
+        "User-agent: otherbot",
+        "Disallow: /",
+        "",
+        "User-agent: *",
+    ]
+    lines += [f"Disallow: {d}" for d in cfg.robots_disallow]
+    if h % 3 == 0:
+        lines.append(f"Disallow: /img/img_0000  # hot shard carve-out")
+    if h % 5 == 0:
+        lines.append("Disallow:")
+    return "\n".join(lines) + "\n"
+
+
+def robots_pdf(cfg: CrawlConfig) -> pd.DataFrame:
+    rows = [
+        {"host": f"host{hidx:03d}.example.com"}
+        for hidx in range(cfg.n_hosts)
+    ]
+    for r in rows:
+        r["robots_txt"] = robots_txt_for(r["host"], cfg)
+    return pd.DataFrame(rows)
+
+
 def politeness_pdf(cfg: CrawlConfig) -> pd.DataFrame:
     """Per-host budgets (FIXTURES.md §5). Deterministic mild variation."""
     rows = []
