@@ -683,6 +683,53 @@ def training_data_prep(spark, sf_dir):
 
 
 @query(
+    "repetition_quality",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(range(2, len(toks) + 1),
+                        i -> toks[i-1] || ' ' || toks[i])) AS bg
+          FROM t),
+    c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+           ROUND(MAX(n) * 1.0 / SUM(n), 4) AS top_bigram_frac,
+           ROUND(COUNT(*) * 1.0 / SUM(n), 4) AS distinct_bigram_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters: top-bigram share +
+    distinct-bigram ratio per document (boilerplate/keyword-stuffing
+    detection before training)."""
+    return textops.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "contamination_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(4, len(toks) + 1),
+                        i -> array_to_string(toks[i-3:i], ' '))) AS gram
+          FROM t)
+    SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+    FROM g c JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b USING (gram)
+    WHERE c.doc_id <> b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def contamination_overlap(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing a word 4-gram
+    with the eval set (doc_id % 97 == 0 — the deterministic stand-in
+    benchmark). N-gram equi-join, never all-pairs; hot-gram cap
+    available for corpus scale (engages far above test SF)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return textops.contamination_overlap(docs, bench, n=4, bucket_cap=10_000)
+
+
+@query(
     "posexplode_tokens",
     """
     SELECT * FROM (

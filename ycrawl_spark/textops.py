@@ -117,6 +117,77 @@ def exact_dedup_groups(df: DataFrame, n_prefix: int = 5, text_col: str = "text")
     )
 
 
+def bigram_col(tokens_col: str = "tokens"):
+    """Adjacent-bigram array from a token array (JVM higher-order fns;
+    Spark SQL array indexing is 0-based)."""
+    return F.expr(
+        f"transform(sequence(2, size({tokens_col})), "
+        f"i -> concat({tokens_col}[i-2], ' ', {tokens_col}[i-1]))"
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    'fraction of characters in the most common n-gram' family): per
+    document, the share of the top bigram and the distinct-bigram
+    ratio. A keyword-stuffed or boilerplate page scores high top-share
+    / low distinct-ratio and gets filtered before training.
+
+    Shape: bigrams derive in-row (higher-order transform), the only
+    shuffle is the (doc_id, bigram) count — map-side combined, keyed by
+    doc so it partitions evenly at corpus scale. Single-token docs have
+    no bigrams and drop out (same in the SQL oracle)."""
+    t = with_tokens(df, text_col)
+    counts = (
+        t.select("doc_id", F.explode(bigram_col()).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.max("n").alias("top_bigram_n"),
+            F.round(F.max("n") / F.sum("n"), 4).alias("top_bigram_frac"),
+            F.round(F.count("*") / F.sum("n"), 4).alias("distinct_bigram_ratio"),
+        )
+    )
+
+
+def contamination_overlap(df: DataFrame, bench: DataFrame, n: int = 5,
+                          text_col: str = "text",
+                          bucket_cap: int | None = None) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 word
+    ``n``-gram with an eval-set document (the standard train/test
+    overlap sweep LLM pipelines run before training). Returns
+    (doc_id, bench_id, n_shared) per contaminated pair.
+
+    Shape: both sides explode to (ngram, id) and equi-join on the
+    ngram — bucketed by content, never all-pairs; ``bucket_cap``
+    drops stop-phrase n-grams observably at corpus scale
+    (cap_hot_buckets), exactly like the shingle joins."""
+    def grams(d, id_alias):
+        t = with_tokens(d, text_col)
+        g = F.expr(
+            f"transform(sequence({n}, size(tokens)), "
+            f"i -> array_join(slice(tokens, i - {n} + 1, {n}), ' '))"
+        )
+        return t.select(
+            F.col("doc_id").alias(id_alias), F.explode(g).alias("gram")
+        ).distinct()
+
+    corpus_g = grams(df, "doc_id")
+    bench_g = grams(bench, "bench_id")
+    if bucket_cap is not None:
+        corpus_g = cap_hot_buckets(corpus_g, ["gram"], bucket_cap)
+    return (
+        corpus_g.join(bench_g, "gram")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 def prep_training_data(df: DataFrame, n_prefix: int = 5,
                        min_tokens: int = 6, max_stop_ratio: float = 0.5,
                        text_col: str = "text") -> DataFrame:
