@@ -19,7 +19,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from . import scheduler, textops, vectors
+from . import graph, scheduler, textops, vectors
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1950,3 +1950,129 @@ def cube_order_counts(spark, sf_dir):
             dsum("o_totalprice").alias("total"),
         )
     )
+
+@query(
+    "near_dup_components",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))) AS sh
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+    SELECT node AS doc_id, LEAST(node, MIN(r)) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def near_dup_components(spark, sf_dir):
+    """Near-dup clusters: the n-gram candidate pairs transitively
+    closed into connected components (graph.py large-star/small-star;
+    dedup keeps one representative per component). Oracle: DuckDB
+    recursive-CTE transitive closure over the identical pair set —
+    min-reachable-node labels must match the distributed algorithm's
+    exactly."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = textops.ngram_shared_pairs(docs, k=4, min_common=2)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = graph.connected_components(edges)
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
+    "pack_sequence_chunks",
+    """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS start_tok
+          FROM t)
+    SELECT doc_id, n_tokens, start_tok,
+           start_tok // 64 AS first_chunk,
+           (start_tok + n_tokens - 1) // 64 AS last_chunk,
+           (start_tok + n_tokens - 1) // 64 - start_tok // 64 + 1 AS n_chunks
+    FROM s
+    """,
+)
+def pack_sequence_chunks(spark, sf_dir):
+    """Concat-and-chunk packing map at ctx=64 (textops.pack_concat_
+    chunks): global token offsets via the two-phase prefix sum — the
+    oracle's single ORDER BY window is exactly the plan shape the Spark
+    side exists to avoid."""
+    return textops.pack_concat_chunks(load(spark, sf_dir, "documents"), ctx=64)
+
+
+@query(
+    "mixture_sampling",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow'))) AS score_en,
+        len(list_filter(string_split(text,' '), x -> x IN ('sort','merge','filter','window'))) AS score_op,
+        len(list_filter(string_split(text,' '), x -> x IN ('query','table','scan','join'))) AS score_qu
+      FROM documents),
+    l AS (SELECT doc_id,
+            CASE WHEN score_en >= score_op AND score_en >= score_qu THEN 'en'
+                 WHEN score_op >= score_qu THEN 'op' ELSE 'qu' END AS lang_guess
+          FROM s),
+    c AS (SELECT lang_guess, COUNT(*) AS n_docs,
+            CAST(ROUND(SQRT(COUNT(*)), 6) AS DECIMAL(18,6)) AS sq
+          FROM l GROUP BY 1),
+    tt AS (SELECT SUM(sq) AS tsq, CAST(SUM(n_docs) AS BIGINT) AS tn FROM c),
+    r AS (SELECT lang_guess, n_docs,
+            LEAST(CAST(1.0 AS DOUBLE),
+                  (CAST(sq AS DOUBLE) / CAST(tsq AS DOUBLE)) * (0.5 * tn) / n_docs) AS rate
+          FROM c, tt)
+    SELECT l.doc_id, l.lang_guess, ROUND(r.rate, 4) AS sample_rate,
+           (r.rate >= 1.0 OR
+            substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)
+              < printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))) AS kept
+    FROM l JOIN r USING (lang_guess)
+    """,
+)
+def mixture_sampling(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) language-mixture sampling with a
+    deterministic md5 coin — rerun-stable, oracle-exact down to the
+    per-doc keep bit."""
+    return textops.mixture_sample(
+        load(spark, sf_dir, "documents"), alpha=0.5, target_frac=0.5
+    )
+
+
+@query(
+    "pii_redaction",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com call +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+      len(regexp_extract_all(t, '\\+1-555-[0-9]{4}')) AS n_phones,
+      len(regexp_extract_all(t, '10\\.[0-9]{1,3}\\.0\\.1')) AS n_ips,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+            '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+            '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+            '10\\.[0-9]{1,3}\\.0\\.1', '<IP>', 'g')) AS redacted_md5
+    FROM p
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII count + redaction over deterministically planted contact
+    lines (textops.pii_redact) — JVM regexp only, RE2/Java-common
+    syntax so the oracle is value-exact including the redacted-text
+    md5."""
+    return textops.pii_redact(load(spark, sf_dir, "documents"))

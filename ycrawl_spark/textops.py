@@ -819,3 +819,160 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "(acc, x) -> xxhash64(concat(cast(acc AS STRING), ':', x)))"
         ).alias("roll_fp"),
     )
+
+def pack_concat_chunks(df: DataFrame, ctx: int = 64,
+                       text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing: the GPT-style training-data
+    layout (concatenate the corpus in doc_id order, slice into
+    fixed-``ctx``-token windows). Emits, per document, its global token
+    offset and the chunk span it lands in — the map a packing writer
+    needs to route each doc's tokens to output shards.
+
+    The running offset is a weighted global prefix sum, computed the
+    scalable way (same two-phase shape as scheduler.with_global_pos):
+    range-partition by doc_id, a window *partitioned by the physical
+    partition id* for the local prefix (never a global single-partition
+    window), and a per-partition total frame — tiny, one row per
+    partition — cumulated and broadcast back. The data pays the range
+    exchange plus one narrow (doc_id, n_tokens) shuffle; at 100 TB the
+    offsets frame is still ≤ one row per task."""
+    t = with_tokens(df, text_col).select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    base = (
+        t.repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_prefix = (
+        W.partitionBy("_pid").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "_loc", F.coalesce(F.sum("n_tokens").over(w_prefix), F.lit(0))
+    )
+    offsets = (
+        base.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_tot").over(
+                    W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    packed = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("start_tok", (F.col("_off") + F.col("_loc")).cast("long"))
+    )
+    first = F.expr(f"start_tok div {ctx}")
+    last = F.expr(f"(start_tok + n_tokens - 1) div {ctx}")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + F.lit(1)).alias("n_chunks"),
+    )
+
+
+def mixture_sample(df: DataFrame, alpha: float = 0.5, target_frac: float = 0.5,
+                   text_col: str = "text") -> DataFrame:
+    """Temperature-scaled language-mixture sampling: per-language keep
+    rates ∝ n_lang^alpha (the multilingual rebalancing rule — low-
+    resource languages upsampled relative to their share), applied as a
+    DETERMINISTIC per-doc coin: keep iff the first 8 md5 hex chars of
+    the doc id, read as a uniform in [0, 16^8), fall under the rate
+    threshold. No rand() — reruns, retries and the SQL oracle all draw
+    the same sample.
+
+    alpha is fixed at 0.5 (sqrt) so the per-language weight goes
+    through a correctly-rounded IEEE sqrt and an exact decimal sum —
+    bit-identical between Spark and DuckDB; a free-alpha pow() would
+    not be. Shape: one small per-language aggregate broadcast back over
+    the corpus scan — a single wide shuffle of (doc_id, lang) pairs."""
+    if alpha != 0.5:
+        raise ValueError("mixture_sample pins alpha=0.5 (IEEE-exact sqrt)")
+    langs = langid_guess(df, text_col).select("doc_id", "lang_guess")
+    counts = (
+        langs.groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("_sq", F.round(F.sqrt("n_docs"), 6).cast("decimal(18,6)"))
+    )
+    totals = counts.agg(
+        F.sum("_sq").alias("_tsq"), F.sum("n_docs").alias("_tn")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "lang_guess",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("_sq").cast("double") / F.col("_tsq").cast("double"))
+            * (F.lit(target_frac) * F.col("_tn"))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    thresh = F.format_string(
+        "%08x", F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long")
+    )
+    return (
+        langs.join(F.broadcast(rates), "lang_guess")
+        .select(
+            "doc_id",
+            "lang_guess",
+            F.round("rate", 4).alias("sample_rate"),
+            (
+                (F.col("rate") >= 1.0)
+                | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thresh)
+            ).alias("kept"),
+        )
+    )
+
+
+PII_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+PII_PHONE_RE = r"\+1-555-[0-9]{4}"
+PII_IP_RE = r"10\.[0-9]{1,3}\.0\.1"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: count and redact email / phone / IP patterns to
+    typed placeholders — the privacy pass a training corpus runs before
+    release. Pure JVM regexp (no UDF); the patterns use only constructs
+    with identical semantics in Java regex and RE2 (char classes,
+    bounded repeats), so the DuckDB oracle is value-exact.
+
+    The synthetic corpus contains no organic PII, so the operator
+    plants a deterministic contact line derived from doc_id (same
+    expression in the SQL oracle) — the redaction gate is checked on
+    rows where it actually fires, not vacuously."""
+    planted = F.concat(
+        F.col(text_col),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    t = df.select("doc_id", planted.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(F.col("t"), F.lit(PII_IP_RE)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
