@@ -56,6 +56,7 @@ HEADLINE = [
     "multimodal_image_features",  # binary payload decode plumbing
     "image_phash_near_dups",   # image near-dup via phash block LSH
     "training_data_prep",      # end-to-end corpus prep composition
+    "near_dup_components",     # pair graph → connected components
 ]
 
 

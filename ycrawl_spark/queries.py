@@ -2076,3 +2076,57 @@ def pii_redaction(spark, sf_dir):
     syntax so the oracle is value-exact including the redacted-text
     md5."""
     return textops.pii_redact(load(spark, sf_dir, "documents"))
+
+@query(
+    "near_dup_dedup",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))) AS sh
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    labels AS (SELECT node, LEAST(node, MIN(r)) AS c FROM reach GROUP BY node)
+    SELECT d.doc_id FROM documents d LEFT JOIN labels ON d.doc_id = labels.node
+    WHERE labels.node IS NULL OR labels.node = labels.c
+    """,
+)
+def near_dup_dedup(spark, sf_dir):
+    """The full near-dup dedup: candidate pairs → connected components
+    → keep one representative (component-min) per cluster, unpaired
+    docs untouched. The kept-corpus id set is value-checked against the
+    oracle's closure + anti-join."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = textops.ngram_shared_pairs(docs, k=4, min_common=2)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = graph.connected_components(edges)
+    return graph.dedup_keep_representatives(docs, comp).select("doc_id")
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+    f AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dq AS (SELECT tok, COUNT(*) AS df FROM f GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    s AS (SELECT f.doc_id, f.tok, f.tf, dq.df,
+                 f.tf * n.n_docs / dq.df AS score
+          FROM f JOIN dq USING (tok), n),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, tok ASC) AS rk FROM s)
+    SELECT doc_id, tok, tf, df, ROUND(score, 4) AS tfidf, rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by exact-rational tf-idf
+    (textops.tfidf_topk) — keyword extraction for corpus triage."""
+    return textops.tfidf_topk(load(spark, sf_dir, "documents"), k=3)

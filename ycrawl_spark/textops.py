@@ -976,3 +976,34 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(PII_IP_RE)).alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf, with the raw
+    inverse-frequency idf (tf · N / df) — rational arithmetic over
+    exact counts, so Spark and the SQL oracle produce bit-identical
+    doubles (a log-idf would rank the same but not hash the same).
+
+    Shape: tf is a (doc, token) count; df a token count over tf (both
+    map-side combined); the tf⋈df equi-join shuffles on token — hot
+    tokens are single-row on the build side so AQE handles skew; N is
+    a one-row broadcast. The top-k window partitions by doc_id: even
+    fan-in, no global window."""
+    t = with_tokens(df, text_col)
+    tok = t.select("doc_id", F.explode("tokens").alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    total = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id", "tok", "tf", "df",
+            F.round("score", 4).alias("tfidf"), "rk",
+        )
+    )
