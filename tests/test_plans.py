@@ -191,3 +191,54 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
         spark.sql("DROP TABLE IF EXISTS t_customer_bkt")
+
+
+def test_pack_chunks_data_window_is_partition_local(spark):
+    """The packing prefix sum must never window the data globally: the
+    data-side Window partitions by the physical partition id; the only
+    un-partitioned Window runs over the per-partition offsets frame
+    (≤ one row per task). The offsets frame reaches the data by
+    broadcast, and the data itself is exchanged by range."""
+    plan = plan_of(spark, "pack_sequence_chunks", "simple")
+    assert "Exchange rangepartitioning" in plan
+    assert "BroadcastExchange" in plan
+    import re
+
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    # partition-local data window: windowspecdefinition(_pid, doc_id ...)
+    # — a PARTITION BY _pid plus ORDER BY doc_id; the offsets window has
+    # only ORDER BY _pid (no partition spec) over the tiny _tot frame
+    data_windows = [
+        w for w in windows if re.search(r"windowspecdefinition\(_pid#\d+, ", w)
+    ]
+    global_windows = [w for w in windows if w not in data_windows]
+    assert len(data_windows) == 1          # local prefix over _pid
+    assert len(global_windows) == 1        # offsets cumsum only
+    assert "_tot" in global_windows[0]     # ...and it is the offsets frame
+
+
+def test_mixture_sampling_rates_join_is_broadcast(spark):
+    """Per-language rates (≤ |languages| rows) must broadcast onto the
+    corpus scan — a shuffle join here would re-shuffle the whole corpus
+    for a three-row dim."""
+    plan = plan_of(spark, "mixture_sampling")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_no_python_udf_and_partial_agg(spark):
+    """tf-idf stays JVM-side and the tf count partial-aggregates
+    map-side before its exchange."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    pre_exchange = plan.split("Exchange hashpartitioning")[0]
+    assert "HashAggregate" in pre_exchange
+
+
+def test_pii_redaction_single_scan_no_shuffle(spark):
+    """Redaction is a pure per-row projection: no exchange at all in
+    the plan — one scan, one project."""
+    plan = plan_of(spark, "pii_redaction", "simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
