@@ -146,3 +146,50 @@ def test_video_frame_sample_real_y4m(spark):
     assert all(r["w"] == 6 and r["h"] == 8 and r["colorspace"] == "C444"
                for r in got.values())
     assert bytes(got[6]["frame"]) == frames[6].transpose(2, 0, 1).tobytes()
+
+
+def test_image_dedup_clusters_match_union_find(spark):
+    """The full image-dedup chain (phash pairs → connected components
+    → keep representatives) must keep exactly the ids a driver-side
+    union-find over the brute-force pair set would keep."""
+    import itertools
+
+    from ycrawl_spark import graph, synth, textops
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=120, n_hosts=4)
+    feats = multimodal.image_features(
+        synth.near_dup_images_df(spark, cfg, dup_every=4)
+    )
+    sketch = feats.select(F.col("image_id").alias("doc_id"), "phash")
+    pairs = textops.simhash_near_dups_from_sketch(
+        sketch, max_hamming=6, sketch_col="phash"
+    )
+    comp = graph.connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in graph.dedup_keep_representatives(
+            sketch.select("doc_id"), comp
+        ).collect()
+    )
+
+    rows = [synth.make_near_dup_image_row(i, 4) for i in range(cfg.n_urls)]
+    mask = (1 << 64) - 1
+    parent = {r["image_id"]: r["image_id"] for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(rows, 2):
+        if bin((a["phash"] ^ b["phash"]) & mask).count("1") <= 6:
+            parent[find(a["image_id"])] = find(b["image_id"])
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(find(r["image_id"]), []).append(r["image_id"])
+    expect = sorted(min(members) for members in clusters.values())
+    assert kept == expect

@@ -2130,3 +2130,57 @@ def tfidf_top_terms(spark, sf_dir):
     """Top-3 characteristic terms per doc by exact-rational tf-idf
     (textops.tfidf_topk) — keyword extraction for corpus triage."""
     return textops.tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+@query(
+    "block_dedup_stats",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0),
+    t AS (SELECT doc_id, string_split(text,' ') AS toks FROM corpus
+          WHERE len(string_split(text,' ')) >= 16),
+    b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)//16 + 1),
+            bi -> md5(array_to_string(toks[(bi-1)*16+1 : (bi-1)*16+16], ' ')))) AS bh
+          FROM t),
+    o AS (SELECT bh, COUNT(DISTINCT doc_id) AS n_docs_with FROM b GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_blocks,
+           ROUND(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS shared_frac
+    FROM b JOIN o USING (bh)
+    GROUP BY doc_id
+    """,
+)
+def block_dedup_stats(spark, sf_dir):
+    """Paragraph/block-level dedup signal (textops.block_dedup_stats)
+    over the corpus plus deterministic mirror copies (every 50th doc
+    re-appended under doc_id+1e6, same in the oracle) so the shared-
+    block branch fires non-vacuously."""
+    docs = load(spark, sf_dir, "documents")
+    mirrored = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mirrored)
+    return textops.block_dedup_stats(corpus, block=16)
+
+
+@query("image_dedup_clusters")  # binary decode + sketch LSH (rows-only)
+def image_dedup_clusters(spark, sf_dir):
+    """Image dedup end-to-end: phash near-dup pairs (same block-LSH
+    engine as text SimHash) → connected components → keep one
+    representative per cluster. One dedup engine across modalities,
+    now including the cluster tail; cluster equality vs brute-force
+    union-find pinned in tests/test_multimodal.py."""
+    from . import multimodal, synth
+
+    cfg = _tiny_cfg()
+    feats = multimodal.image_features(synth.near_dup_images_df(spark, cfg))
+    sketch = feats.select(F.col("image_id").alias("doc_id"), "phash")
+    pairs = textops.simhash_near_dups_from_sketch(
+        sketch, max_hamming=6, sketch_col="phash", bucket_cap=10_000
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = graph.connected_components(edges)
+    return graph.dedup_keep_representatives(
+        sketch.select("doc_id"), comp
+    ).select("doc_id")

@@ -1007,3 +1007,37 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
             F.round("score", 4).alias("tfidf"), "rk",
         )
     )
+
+def block_dedup_stats(df: DataFrame, block: int = 16,
+                      text_col: str = "text") -> DataFrame:
+    """Paragraph-level (block-level) dedup signal, the C4/RefinedWeb
+    line-dedup analog for token streams: hash each non-overlapping
+    ``block``-token window and report, per doc, how many of its blocks
+    also appear in at least one other document. A high shared fraction
+    marks boilerplate-heavy or mirrored pages for span-level removal.
+
+    Shape: blocks derive in-row; the hash→distinct-doc count and the
+    per-doc rollup are both map-side combined; the b⋈owners join is a
+    one-row build side per hash. Docs shorter than one block drop out
+    (identical in the SQL oracle). Block hashing is alignment-
+    sensitive by construction — shifted copies need the shingle/
+    minhash family instead."""
+    t = with_tokens(df, text_col).filter(F.size("tokens") >= block)
+    blocks = F.expr(
+        f"transform(sequence(1, size(tokens) div {block}), "
+        f"b -> md5(array_join(slice(tokens, (b-1)*{block} + 1, {block}), ' ')))"
+    )
+    b = t.select("doc_id", F.explode(blocks).alias("bh"))
+    owners = b.groupBy("bh").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    shared = F.sum(F.when(F.col("n_docs_with") > 1, 1).otherwise(0))
+    return (
+        b.join(owners, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            shared.cast("long").alias("n_shared_blocks"),
+            F.round(shared / F.count("*"), 4).alias("shared_frac"),
+        )
+    )
