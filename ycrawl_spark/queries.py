@@ -2184,3 +2184,28 @@ def image_dedup_clusters(spark, sf_dir):
     return graph.dedup_keep_representatives(
         sketch.select("doc_id"), comp
     ).select("doc_id")
+
+@query(
+    "exact_group_percentiles",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.95) AS p95,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def exact_group_percentiles(spark, sf_dir):
+    """Exact per-group quantiles (median/p95 order value): Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition and hash bit-identically (probed). Scale
+    note: exact percentile buffers each group's values — the 100-TB
+    path is ``approx_percentile`` (KLL-style sketch, mergeable
+    map-side), gated within 1% of this exact result in
+    tests/test_quantiles.py."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.95).alias("p95"),
+        F.count("*").alias("n"),
+    )
