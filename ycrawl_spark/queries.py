@@ -2209,3 +2209,96 @@ def exact_group_percentiles(spark, sf_dir):
         F.percentile("o_totalprice", 0.95).alias("p95"),
         F.count("*").alias("n"),
     )
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    WITH f AS (SELECT * FROM lineitem WHERE l_orderkey % 100 = 0)
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM f
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM f
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM f
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM f
+    """,
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Unpivot/melt: wide measure columns to long (measure, value)
+    rows — the inverse of the pivot family, a per-row projection
+    (no shuffle at any scale)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "grouping_sets_order_stats",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_order_stats(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube
+    specialize): per-priority, per-status, and grand-total stats in
+    one pass — Spark expands to a single expand+hash-agg, partial
+    map-side."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price"))
+
+
+@query(
+    "ntile_price_quartiles",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def ntile_price_quartiles(spark, sf_dir):
+    """NTILE bucketing within segments (price quartiles per priority)
+    — windows partition by the segment key, so fan-in stays even;
+    unique tiebreak (o_orderkey) pins tie order across engines."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority", "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "custkey_intersect_except",
+    """
+    SELECT o_custkey, 'both' AS tag FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    UNION ALL
+    SELECT o_custkey, 'only_1995' AS tag FROM (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    """,
+)
+def custkey_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT set semantics (distinct-based): customers
+    active in both 1995 and 1996 vs 1995-only — Spark plans these as
+    semi/anti joins over pre-aggregated keys."""
+    o = load(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = y95.intersect(y96).withColumn("tag", F.lit("both"))
+    only95 = y95.subtract(y96).withColumn("tag", F.lit("only_1995"))
+    return both.unionByName(only95)
