@@ -2302,3 +2302,28 @@ def custkey_intersect_except(spark, sf_dir):
     both = y95.intersect(y96).withColumn("tag", F.lit("both"))
     only95 = y95.subtract(y96).withColumn("tag", F.lit("only_1995"))
     return both.unionByName(only95)
+
+@query(
+    "top_tokens_global",
+    """
+    SELECT tok, n FROM (
+      SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok)
+    ORDER BY n DESC, tok ASC LIMIT 20
+    """,
+)
+def top_tokens_global(spark, sf_dir):
+    """Corpus heavy hitters: exact global token top-20 (map-side
+    partial count, then TakeOrdered — no global sort). The
+    count-min-sketch estimate of the same counts is gated within
+    epsilon in tests/test_sketches.py (the mergeable one-pass path
+    when the vocabulary itself no longer fits a groupBy)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
