@@ -2327,3 +2327,54 @@ def top_tokens_global(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )
+
+def _roundtrip_dir(spark, sf_dir, fmt):
+    """Deterministic temp export of an events slice for source-format
+    round-trips; keyed by (sf_dir, fmt) so repeat runs reuse it."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(f"{sf_dir}:{fmt}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"ycrawl_rt_{fmt}_{tag}")
+
+
+_EVENTS_RT_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, props STRING"
+)
+
+
+def _events_slice(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 37 == 0)
+        .select("event_id", "user_id", "event_type", "props")
+    )
+
+
+_EVENTS_RT_ORACLE = """
+    SELECT event_id, user_id, event_type, props
+    FROM events WHERE event_id % 37 = 0
+"""
+
+
+@query("jsonl_source_roundtrip", _EVENTS_RT_ORACLE)
+def jsonl_source_roundtrip(spark, sf_dir):
+    """JSON-lines source: export an events slice to .jsonl, read it
+    back with ``spark.read.schema(...).json`` (explicit schema — never
+    the double-scan inference path at 100 TB) and return the rows; the
+    oracle reads the same slice from parquet, so the round-trip must
+    be lossless."""
+    out = _roundtrip_dir(spark, sf_dir, "jsonl")
+    _events_slice(spark, sf_dir).write.mode("overwrite").json(out)
+    return spark.read.schema(_EVENTS_RT_SCHEMA).json(out)
+
+
+@query("csv_source_roundtrip", _EVENTS_RT_ORACLE)
+def csv_source_roundtrip(spark, sf_dir):
+    """CSV source with explicit schema + header — same lossless
+    round-trip contract as the JSONL variant."""
+    out = _roundtrip_dir(spark, sf_dir, "csv")
+    _events_slice(spark, sf_dir).write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    return spark.read.schema(_EVENTS_RT_SCHEMA).option("header", True).csv(out)
