@@ -2378,3 +2378,24 @@ def csv_source_roundtrip(spark, sf_dir):
         "header", True
     ).csv(out)
     return spark.read.schema(_EVENTS_RT_SCHEMA).option("header", True).csv(out)
+
+@query(
+    "sliding_chunks_rag",
+    """
+    WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+    p AS (SELECT doc_id, toks,
+            1 + (greatest(len(toks) - 32, 0) + 23) // 24 AS n_chunks FROM t),
+    c AS (SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_idx, toks FROM p)
+    SELECT doc_id, chunk_idx,
+           len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS n_tok,
+           md5(array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def sliding_chunks_rag(spark, sf_dir):
+    """Overlapping 32-token windows at stride 24 per document
+    (textops.sliding_chunks) — the retrieval/embedding chunking map;
+    shuffle-free in-row derivation, chunk hashes value-checked."""
+    return textops.sliding_chunks(
+        load(spark, sf_dir, "documents"), size=32, stride=24
+    )

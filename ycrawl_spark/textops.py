@@ -1041,3 +1041,32 @@ def block_dedup_stats(df: DataFrame, block: int = 16,
             F.round(shared / F.count("*"), 4).alias("shared_frac"),
         )
     )
+
+def sliding_chunks(df: DataFrame, size: int = 32, stride: int = 24,
+                   text_col: str = "text") -> DataFrame:
+    """Sliding-window chunking (RAG/embedding prep): overlapping
+    ``size``-token windows every ``stride`` tokens, one row per chunk
+    with its token count and content hash. The final window clamps at
+    the document end; a doc shorter than one window is one chunk.
+
+    Shape: chunk boundaries and hashes derive entirely in-row (one
+    higher-order transform + explode — no shuffle at all); downstream
+    embedding/indexing sees (doc_id, chunk_idx) rows already evenly
+    spread across the scan partitions."""
+    t = with_tokens(df, text_col).withColumn(
+        "_nc",
+        F.expr(
+            f"1 + (greatest(size(tokens) - {size}, 0) + {stride - 1}) div {stride}"
+        ),
+    )
+    sl = f"slice(tokens, i*{stride} + 1, {size})"
+    chunks = F.expr(
+        f"transform(sequence(0, _nc - 1), i -> named_struct("
+        f"'chunk_idx', CAST(i AS LONG), "
+        f"'n_tok', size({sl}), "
+        f"'chunk_md5', md5(array_join({sl}, ' '))))"
+    )
+    return (
+        t.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.n_tok", "c.chunk_md5")
+    )
