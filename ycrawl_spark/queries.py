@@ -2399,3 +2399,64 @@ def sliding_chunks_rag(spark, sf_dir):
     return textops.sliding_chunks(
         load(spark, sf_dir, "documents"), size=32, stride=24
     )
+
+@query(
+    "dataset_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def dataset_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (~80/10/10) from the
+    md5 of the doc id — rerun-stable, join-free, and stable under
+    corpus growth (a doc never changes split when new docs arrive,
+    unlike modulo-on-row-number schemes). Per-row projection only."""
+    docs = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+@query(
+    "group_sample_topk",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), x -> x IN ('the','a','fast','slow'))) AS score_en,
+        len(list_filter(string_split(text,' '), x -> x IN ('sort','merge','filter','window'))) AS score_op,
+        len(list_filter(string_split(text,' '), x -> x IN ('query','table','scan','join'))) AS score_qu
+      FROM documents),
+    l AS (SELECT doc_id,
+            CASE WHEN score_en >= score_op AND score_en >= score_qu THEN 'en'
+                 WHEN score_op >= score_qu THEN 'op' ELSE 'qu' END AS lang_guess
+          FROM s),
+    r AS (SELECT doc_id, lang_guess,
+            ROW_NUMBER() OVER (PARTITION BY lang_guess
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM l)
+    SELECT doc_id, lang_guess, rk FROM r WHERE rk <= 5
+    """,
+)
+def group_sample_topk(spark, sf_dir):
+    """Deterministic per-group uniform k-sample (5 docs per language,
+    ordered by the md5 of the id — a reproducible reservoir draw for
+    eval-set carving). The window partitions by group, so fan-in is
+    per-language, never global."""
+    langs = textops.langid_guess(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_guess"
+    )
+    w = W.partitionBy("lang_guess").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        langs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "lang_guess", "rk")
+    )
