@@ -2460,3 +2460,92 @@ def group_sample_topk(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("doc_id", "lang_guess", "rk")
     )
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+    t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+    SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+           CASE WHEN t3.t3 IS NOT NULL THEN 3
+                WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS funnel_stage
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel analysis: per user, the first view, the first
+    click strictly after it, and the first purchase strictly after
+    that — stage = how deep the user got. Three stage-wise conditional
+    mins joined on user_id; every join is a same-key equi-join, so the
+    exchanges co-partition and AQE reuses them at scale."""
+    e = load(spark, sf_dir, "events")
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id", "t1", "t2", "t3",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_stage"),
+        )
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    """
+    WITH f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+               FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+          FROM events)
+    SELECT f.cohort, date_diff('day', f.cohort, a.w) // 7 AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM a JOIN f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, activity
+    counted per (cohort, week-offset) — the standard retention
+    triangle. Two passes over events (first-seen + distinct activity
+    weeks), one same-key join, map-side-combined count-distinct."""
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("w"), F.col("cohort")).cast("long") / 7)
+            .cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
