@@ -9,9 +9,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import functions as F
-
-from ycrawl_spark import graph, textops
+from ycrawl_spark import graph
 
 
 def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:

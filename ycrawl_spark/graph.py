@@ -88,7 +88,7 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id of the node's component —
     a canonical labeling independent of edge order.
@@ -105,13 +105,23 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     cur = _canon(edges).localCheckpoint(eager=True)
     sig = _signature(cur)
+    converged = sig[0] == 0
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         nsig = _signature(nxt)
         cur = nxt
         if nsig == sig:
+            converged = True
             break
         sig = nsig
+    if not converged:
+        # Never return silently-wrong labels: an unconverged labeling
+        # under-merges clusters with no other signal. 30 alternations
+        # cover any diameter below ~2^30; hitting this means the input
+        # is degenerate or max_iter was lowered.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     # Converged: every edge is (node, component-min). Roots map to
     # themselves; the groupBy-min is belt-and-braces canonicalization.
     labels = (

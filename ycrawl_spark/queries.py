@@ -2329,12 +2329,15 @@ def top_tokens_global(spark, sf_dir):
     )
 
 def _roundtrip_dir(spark, sf_dir, fmt):
-    """Deterministic temp export of an events slice for source-format
-    round-trips; keyed by (sf_dir, fmt) so repeat runs reuse it."""
+    """Temp export dir for source-format round-trips; keyed by
+    (sf_dir, fmt, Spark application id) so repeat runs inside one
+    session reuse it while concurrent processes (bench + pytest)
+    can never overwrite each other's files mid-read."""
     import hashlib
     import os
 
-    tag = hashlib.md5(f"{sf_dir}:{fmt}".encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{sf_dir}:{fmt}:{app}".encode()).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"ycrawl_rt_{fmt}_{tag}")
 
 
@@ -2372,12 +2375,22 @@ def jsonl_source_roundtrip(spark, sf_dir):
 @query("csv_source_roundtrip", _EVENTS_RT_ORACLE)
 def csv_source_roundtrip(spark, sf_dir):
     """CSV source with explicit schema + header — same lossless
-    round-trip contract as the JSONL variant."""
+    round-trip contract as the JSONL variant. nullValue is pinned to a
+    sentinel on both sides (CSV cannot otherwise distinguish null from
+    empty string) and multiLine on the reader keeps quoted embedded
+    newlines one record; the adversarial-content round-trip is pinned
+    in tests/test_roundtrip.py."""
     out = _roundtrip_dir(spark, sf_dir, "csv")
     _events_slice(spark, sf_dir).write.mode("overwrite").option(
         "header", True
-    ).csv(out)
-    return spark.read.schema(_EVENTS_RT_SCHEMA).option("header", True).csv(out)
+    ).option("nullValue", "\\N").csv(out)
+    return (
+        spark.read.schema(_EVENTS_RT_SCHEMA)
+        .option("header", True)
+        .option("nullValue", "\\N")
+        .option("multiLine", True)
+        .csv(out)
+    )
 
 @query(
     "sliding_chunks_rag",

@@ -119,10 +119,16 @@ def exact_dedup_groups(df: DataFrame, n_prefix: int = 5, text_col: str = "text")
 
 def bigram_col(tokens_col: str = "tokens"):
     """Adjacent-bigram array from a token array (JVM higher-order fns;
-    Spark SQL array indexing is 0-based)."""
+    Spark SQL array indexing is 0-based). Guarded for single-token
+    docs: Spark's sequence(2, 1) DESCENDS to [2, 1] rather than being
+    empty, which would index out of bounds under ANSI mode — the CASE
+    returns an empty array instead (matching the SQL oracles'
+    end-exclusive range semantics)."""
     return F.expr(
+        f"CASE WHEN size({tokens_col}) >= 2 THEN "
         f"transform(sequence(2, size({tokens_col})), "
-        f"i -> concat({tokens_col}[i-2], ' ', {tokens_col}[i-1]))"
+        f"i -> concat({tokens_col}[i-2], ' ', {tokens_col}[i-1])) "
+        f"ELSE array() END"
     )
 
 
@@ -168,9 +174,13 @@ def contamination_overlap(df: DataFrame, bench: DataFrame, n: int = 5,
     (cap_hot_buckets), exactly like the shingle joins."""
     def grams(d, id_alias):
         t = with_tokens(d, text_col)
+        # guarded like bigram_col: a doc shorter than n tokens has no
+        # n-grams (sequence(n, size) would DESCEND and slice at 0)
         g = F.expr(
+            f"CASE WHEN size(tokens) >= {n} THEN "
             f"transform(sequence({n}, size(tokens)), "
-            f"i -> array_join(slice(tokens, i - {n} + 1, {n}), ' '))"
+            f"i -> array_join(slice(tokens, i - {n} + 1, {n}), ' ')) "
+            f"ELSE array() END"
         )
         return t.select(
             F.col("doc_id").alias(id_alias), F.explode(g).alias("gram")
@@ -286,10 +296,18 @@ def cap_drop_stats(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
 
 
 def shingles_col(tokens_col: str = "tokens", k: int = 4):
-    """k-token shingles via higher-order functions (JVM-side)."""
+    """k-token shingles via higher-order functions (JVM-side).
+
+    Guarded: for a doc shorter than k tokens, sequence(1, 0) DESCENDS
+    to [1, 0] in Spark (it does not produce an empty array), and
+    slice(..., 0, k) then aborts the job under ANSI mode — the CASE
+    yields an empty shingle set instead, matching the SQL oracles'
+    end-exclusive generate_series."""
     return F.expr(
-        f"transform(sequence(1, greatest(size({tokens_col}) - {k - 1}, 0)), "
-        f"i -> array_join(slice({tokens_col}, i, {k}), ' '))"
+        f"CASE WHEN size({tokens_col}) >= {k} THEN "
+        f"transform(sequence(1, size({tokens_col}) - {k - 1}), "
+        f"i -> array_join(slice({tokens_col}, i, {k}), ' ')) "
+        f"ELSE array() END"
     )
 
 
@@ -345,9 +363,14 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, k: int = 4,
 def minhash_signatures(df: DataFrame, n_perm: int = 16, k: int = 4,
                        text_col: str = "text") -> DataFrame:
     """MinHash signatures fully JVM-side: perm_i(x) = xxhash64(x||':pi'),
-    signature_i = min over shingles. No Python UDF at all."""
-    t = with_tokens(fan_out(df), text_col).withColumn(
-        "sh", F.array_distinct(shingles_col("tokens", k))
+    signature_i = min over shingles. No Python UDF at all. Docs with an
+    empty shingle set (shorter than k tokens) are excluded — their
+    signatures would be all-null and spuriously bucket every short doc
+    together in the LSH stage."""
+    t = (
+        with_tokens(fan_out(df), text_col)
+        .withColumn("sh", F.array_distinct(shingles_col("tokens", k)))
+        .filter(F.size("sh") > 0)
     )
     sig = F.array(
         *[
