@@ -2562,3 +2562,21 @@ def cohort_weekly_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+@query(
+    "label_centroid_stats",
+    """
+    SELECT label, i - 1 AS dim,
+           ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(*), 8) AS centroid,
+           COUNT(*) AS n
+    FROM (SELECT label, embedding[i] AS v, i
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+    GROUP BY 1, 2
+    """,
+)
+def label_centroid_stats(spark, sf_dir):
+    """Per-label embedding centroids, elementwise-exact
+    (vectors.label_centroids) — class prototypes for drift monitoring
+    and nearest-class-mean classification."""
+    return vectors.label_centroids(load(spark, sf_dir, "embeddings"))

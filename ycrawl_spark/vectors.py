@@ -553,3 +553,25 @@ def label_norm_stats(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
         .groupBy("label")
         .agg(F.round(F.avg("norm"), 3).alias("avg_norm"), F.count("*").alias("n"))
     )
+
+def label_centroids(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label centroid, elementwise: (label, dim, centroid, n).
+    The class-prototype computation embedding pipelines run for
+    cluster quality, drift monitoring, and nearest-class-mean
+    classification.
+
+    Exactness: each component sums as decimal(28,12) (order-invariant)
+    before the double division, so the result is bit-identical across
+    engines and partitionings. Shape: posexplode fans rows ×D but the
+    partial aggregate combines map-side immediately — the shuffle
+    carries at most |labels|·D rows per mapper, never the data."""
+    e = df.select(label_col, F.posexplode(vec_col).alias("dim", "v"))
+    return e.groupBy(label_col, "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(28,12)")).cast("double")
+            / F.count("*"),
+            8,
+        ).alias("centroid"),
+        F.count("*").alias("n"),
+    )
