@@ -2580,3 +2580,29 @@ def label_centroid_stats(spark, sf_dir):
     (vectors.label_centroids) — class prototypes for drift monitoring
     and nearest-class-mean classification."""
     return vectors.label_centroids(load(spark, sf_dir, "embeddings"))
+
+@query(
+    "centroid_outliers",
+    """
+    WITH x AS (SELECT vec_id, label, i - 1 AS dim,
+                      CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+               FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    craw AS (SELECT label, i - 1 AS dim,
+               ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*), 8) AS centroid
+             FROM (SELECT label, embedding[i] AS v, i
+                   FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+             GROUP BY 1, 2),
+    c AS (SELECT label, dim,
+                 CAST(ROUND(centroid * 1000000) AS BIGINT) AS c6 FROM craw)
+    SELECT x.vec_id, x.label, SUM((x.v6 - c.c6) * (x.v6 - c.c6)) AS d2q
+    FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
+    GROUP BY 1, 2
+    ORDER BY d2q DESC, vec_id ASC LIMIT 20
+    """,
+)
+def centroid_outliers(spark, sf_dir):
+    """Top-20 distance-to-own-centroid outliers
+    (vectors.centroid_outliers) — quantized-integer distances, so the
+    ranking is exact across engines."""
+    return vectors.centroid_outliers(load(spark, sf_dir, "embeddings"), k=20)

@@ -575,3 +575,31 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
         ).alias("centroid"),
         F.count("*").alias("n"),
     )
+
+def centroid_outliers(df: DataFrame, k: int = 20, vec_col: str = "embedding",
+                      label_col: str = "label") -> DataFrame:
+    """Top-k outliers by squared distance to the vector's own label
+    centroid — the mislabel/drift triage pass over an embedded corpus.
+
+    Cross-engine exactness with zero float summation: components and
+    centroids quantize to 1e-6 integers and the squared distance
+    accumulates as int64 (bounded: |v| ≤ 60 stays within range at
+    D=64), so ranking ties and values are bit-identical by
+    construction. The centroid frame is |labels|·D rows — broadcast —
+    and the top-k is a TakeOrdered, never a global sort."""
+    cent = label_centroids(df, vec_col, label_col).select(
+        label_col, "dim",
+        F.round(F.col("centroid") * 1_000_000).cast("long").alias("c6"),
+    )
+    x = df.select(
+        "vec_id", label_col, F.posexplode(vec_col).alias("dim", "v")
+    ).withColumn(
+        "v6", F.round(F.col("v").cast("double") * 1_000_000).cast("long")
+    )
+    d = (
+        x.join(F.broadcast(cent), [label_col, "dim"])
+        .withColumn("_dq", (F.col("v6") - F.col("c6")) * (F.col("v6") - F.col("c6")))
+        .groupBy("vec_id", label_col)
+        .agg(F.sum("_dq").alias("d2q"))
+    )
+    return d.orderBy(F.desc("d2q"), F.asc("vec_id")).limit(k)
