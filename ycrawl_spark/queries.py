@@ -2606,3 +2606,34 @@ def centroid_outliers(spark, sf_dir):
     (vectors.centroid_outliers) — quantized-integer distances, so the
     ranking is exact across engines."""
     return vectors.centroid_outliers(load(spark, sf_dir, "embeddings"), k=20)
+
+@query(
+    "nearest_class_mean",
+    """
+    WITH x AS (SELECT vec_id, label AS true_label, i - 1 AS dim,
+                      CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+               FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    craw AS (SELECT label AS cand, i - 1 AS dim,
+               ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*), 8) AS centroid
+             FROM (SELECT label, embedding[i] AS v, i
+                   FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+             GROUP BY 1, 2),
+    c AS (SELECT cand, dim, CAST(ROUND(centroid * 1000000) AS BIGINT) AS c6 FROM craw),
+    d AS (SELECT x.vec_id, x.true_label, c.cand,
+                 SUM((x.v6 - c.c6) * (x.v6 - c.c6)) AS d2q
+          FROM x JOIN c ON x.dim = c.dim
+          GROUP BY 1, 2, 3),
+    p AS (SELECT vec_id, true_label, cand,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2q ASC, cand ASC) AS rk
+          FROM d)
+    SELECT true_label, cand AS pred_label, COUNT(*) AS n
+    FROM p WHERE rk = 1
+    GROUP BY 1, 2
+    """,
+)
+def nearest_class_mean(spark, sf_dir):
+    """Nearest-class-mean confusion matrix
+    (vectors.nearest_class_mean_confusion) — exact integer-distance
+    argmin, deterministic label tiebreak."""
+    return vectors.nearest_class_mean_confusion(load(spark, sf_dir, "embeddings"))

@@ -603,3 +603,40 @@ def centroid_outliers(df: DataFrame, k: int = 20, vec_col: str = "embedding",
         .agg(F.sum("_dq").alias("d2q"))
     )
     return d.orderBy(F.desc("d2q"), F.asc("vec_id")).limit(k)
+
+def nearest_class_mean_confusion(df: DataFrame, vec_col: str = "embedding",
+                                 label_col: str = "label") -> DataFrame:
+    """Nearest-class-mean classification audit: assign every vector to
+    the label whose centroid is closest (quantized-integer distances —
+    exact argmin, deterministic tiebreak on label) and report the
+    confusion counts (true_label, pred_label, n). The embedding-space
+    sanity check pipelines run after (re)training an encoder.
+
+    Shape: candidate distances are n·|labels| rows from a broadcast
+    centroid frame; the argmin is a per-vector window over |labels|
+    rows; counts aggregate map-side."""
+    cent = label_centroids(df, vec_col, label_col).select(
+        F.col(label_col).alias("cand"), "dim",
+        F.round(F.col("centroid") * 1_000_000).cast("long").alias("c6"),
+    )
+    x = df.select(
+        "vec_id", F.col(label_col).alias("true_label"),
+        F.posexplode(vec_col).alias("dim", "v"),
+    ).withColumn(
+        "v6", F.round(F.col("v").cast("double") * 1_000_000).cast("long")
+    )
+    d = (
+        x.join(F.broadcast(cent), "dim")
+        .withColumn("_dq", (F.col("v6") - F.col("c6")) * (F.col("v6") - F.col("c6")))
+        .groupBy("vec_id", "true_label", "cand")
+        .agg(F.sum("_dq").alias("d2q"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.asc("d2q"), F.asc("cand"))
+    pred = (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "true_label", F.col("cand").alias("pred_label"))
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count("*").alias("n")
+    )
