@@ -2637,3 +2637,92 @@ def nearest_class_mean(spark, sf_dir):
     (vectors.nearest_class_mean_confusion) — exact integer-distance
     argmin, deterministic label tiebreak."""
     return vectors.nearest_class_mean_confusion(load(spark, sf_dir, "embeddings"))
+
+@query(
+    "salted_hot_key_agg",
+    """
+    SELECT o_custkey, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def salted_hot_key_agg(spark, sf_dir):
+    """The canonical hot-key recipe: two-phase salted aggregation —
+    partial aggregate on (key, salt) spreads a skewed key over 8
+    reducers, then the final aggregate merges the 8 partials per key.
+    The oracle is the PLAIN group-by: salting must be a pure physical
+    rewrite with bit-identical results (decimal partials merge
+    exactly; a double partial-sum would not re-associate safely)."""
+    o = load(spark, sf_dir, "orders")
+    partial = (
+        o.withColumn("_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(8)))
+        .groupBy("o_custkey", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_t"),
+        )
+    )
+    return partial.groupBy("o_custkey").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_t").cast("double").alias("total"),
+    )
+
+
+@query(
+    "gap_fill_forward",
+    """
+    WITH spine AS (
+      SELECT user_id, CAST(d AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events),
+           unnest(generate_series(DATE '2024-01-01', DATE '2024-01-14',
+                                  INTERVAL 1 DAY)) AS t(d)),
+    daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n_events
+      FROM events
+      WHERE ts < DATE '2024-01-15'
+      GROUP BY 1, 2)
+    SELECT s.user_id, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           LAST_VALUE(d.n_events IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_observed
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def gap_fill_forward(spark, sf_dir):
+    """Time-series gap filling: a per-user calendar spine left-joined
+    to daily activity, missing days zero-filled plus a forward-filled
+    last-observed value (last_value IGNORE NULLS over an
+    unbounded-preceding frame). The spine derives in-row from
+    sequence() — per-user windows, never global; the resample/
+    as-freq primitive for feature pipelines."""
+    e = load(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    spine = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"), F.lit("2024-01-14").cast("date")
+            )
+        ).alias("day"),
+    )
+    daily = (
+        e.filter(F.col("ts") < F.lit("2024-01-15").cast("date"))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id", "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("n_events", ignorenulls=True).over(w).alias("last_observed"),
+        )
+    )
