@@ -2726,3 +2726,119 @@ def gap_fill_forward(spark, sf_dir):
             F.last("n_events", ignorenulls=True).over(w).alias("last_observed"),
         )
     )
+
+def _moment_cols(col, scale=4):
+    """Exact decimal first/second moments of a double column — the
+    order-invariant ingredients for mean/stddev/corr that hash
+    identically across engines (a naive double SUM would not)."""
+    d = F.col(col).cast(f"decimal(18,{scale})")
+    return F.sum(d), F.sum((d * d).cast("decimal(38,8)"))
+
+
+@query(
+    "numeric_profile",
+    """
+    SELECT col, n, min_v, max_v,
+           ROUND(s1 / n, 6) AS mean_v,
+           ROUND(SQRT((s2 - s1 * s1 / n) / n), 6) AS stddev_pop
+    FROM (
+      SELECT 'l_quantity' AS col, COUNT(*) AS n,
+             MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s2
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', COUNT(*), MIN(l_discount), MAX(l_discount),
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE),
+             CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,4))
+                  * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', COUNT(*), MIN(l_tax), MAX(l_tax),
+             CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE),
+             CAST(SUM(CAST(CAST(l_tax AS DECIMAL(18,4))
+                  * CAST(l_tax AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE)
+      FROM lineitem)
+    """,
+)
+def numeric_profile(spark, sf_dir):
+    """Column profiling (describe() analog) with cross-engine-exact
+    moments: min/max/mean/stddev_pop per measure from ORDER-INVARIANT
+    decimal sums of x and x² — a double running sum would differ by
+    partitioning; the decimal moments make the profile reproducible
+    bit-for-bit on any cluster shape. One scan, map-side combined."""
+    li = load(spark, sf_dir, "lineitem")
+    frames = []
+    for col in ("l_quantity", "l_discount", "l_tax"):
+        s1, s2 = _moment_cols(col)
+        frames.append(
+            li.agg(
+                F.count("*").alias("n"),
+                F.min(col).alias("min_v"),
+                F.max(col).alias("max_v"),
+                s1.cast("double").alias("s1"),
+                s2.cast("double").alias("s2"),
+            ).select(
+                F.lit(col).alias("col"), "n", "min_v", "max_v",
+                F.round(F.col("s1") / F.col("n"), 6).alias("mean_v"),
+                F.round(
+                    F.sqrt(
+                        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                        / F.col("n")
+                    ),
+                    6,
+                ).alias("stddev_pop"),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out
+
+
+@query(
+    "measure_correlation",
+    """
+    SELECT ROUND(
+             (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6
+           ) AS corr_qty_price, CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(qi AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(pi AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(qi * pi AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(qi * qi AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(pi * pi AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM (SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS qi,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pi
+            FROM lineitem))
+    """,
+)
+def measure_correlation(spark, sf_dir):
+    """Pearson correlation (quantity vs price) from scaled-integer
+    moments: correlation is invariant to linear scaling, so quantizing
+    to cents first makes every sum an exact decimal — one scan, five
+    order-invariant sums, identical doubles on both engines (built-in
+    corr() sums doubles in partition order and is NOT reproducible
+    across cluster shapes)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qi"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pi"),
+    )
+    base = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("qi").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("pi").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("qi") * F.col("pi")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((F.col("qi") * F.col("qi")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((F.col("pi") * F.col("pi")).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return base.select(
+        F.round(corr, 6).alias("corr_qty_price"), n.cast("long").alias("n")
+    )
