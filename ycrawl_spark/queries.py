@@ -2842,3 +2842,44 @@ def measure_correlation(spark, sf_dir):
     return base.select(
         F.round(corr, 6).alias("corr_qty_price"), n.cast("long").alias("n")
     )
+
+@query(
+    "levenshtein_candidates",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+             array_to_string(string_split(text, ' ')[1:8], ' ') AS head
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS dist
+    FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 12
+    """,
+)
+def levenshtein_candidates(spark, sf_dir):
+    """Fuzzy entity resolution: near-identical document heads by edit
+    distance within a blocking key (first-2-token prefix) — the
+    blocked-pairs pattern every record-linkage pipeline uses. The
+    block join keeps it far from all-pairs (same df-cap hook as the
+    shingle joins would apply at corpus scale); ``levenshtein`` is
+    exact and identical across engines."""
+    docs = load(spark, sf_dir, "documents")
+    t = textops.with_tokens(docs)
+    k = t.select(
+        "doc_id",
+        F.array_join(F.slice("tokens", 1, 2), " ").alias("blk"),
+        F.array_join(F.slice("tokens", 1, 8), " ").alias("head"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(dist <= 12)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("dist"),
+        )
+    )
