@@ -2883,3 +2883,24 @@ def levenshtein_candidates(spark, sf_dir):
             dist.alias("dist"),
         )
     )
+
+def _simhash16_pairs_oracle() -> str:
+    sketch = _simhash_md5_oracle()
+    return f"""
+    WITH s AS ({sketch})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+    """
+
+
+@query("simhash_md5_near_dups", _simhash16_pairs_oracle())
+def simhash_md5_near_dups(spark, sf_dir):
+    """Value-exact near-dup PAIRS on the 16-bit md5 SimHash
+    (textops.simhash16_near_dups): the oracle computes the full
+    all-pairs hamming set in SQL, so the block-LSH prefilter's recall
+    is value-checked pair-by-pair — upgrading the simhash family from
+    sketch-only oracle coverage to pair-level."""
+    sketch = textops.simhash_md5(load(spark, sf_dir, "documents"))
+    return textops.simhash16_near_dups(sketch, max_hamming=3)

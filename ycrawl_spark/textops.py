@@ -1093,3 +1093,51 @@ def sliding_chunks(df: DataFrame, size: int = 32, stride: int = 24,
         t.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.n_tok", "c.chunk_md5")
     )
+
+def simhash16_near_dups(sketch: DataFrame, max_hamming: int = 3,
+                        sketch_col: str = "simhash16",
+                        bucket_cap: int | None = None) -> DataFrame:
+    """Near-dup pairs on the 16-bit oracle sketch: 4-bit block LSH
+    (4 blocks — pigeonhole-complete for hamming ≤ 3) + exact
+    bit_count(xor) verification. The 16-bit twin of
+    ``simhash_near_dups_from_sketch`` whose whole pair set is
+    SQL-expressible, so the DuckDB gate value-checks PAIR RECALL, not
+    just the sketch — closing the verification gap the 64-bit
+    rows-only sibling leaves open."""
+    if max_hamming > 3:
+        raise ValueError("4-block/4-bit layout guarantees recall only to hamming 3")
+    stacked = sketch.select(
+        "doc_id",
+        sketch_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("block_id"),
+                    F.shiftright(F.col(sketch_col), b * 4).bitwiseAND(F.lit(15))
+                    .alias("block_val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("blk"),
+    ).select("doc_id", sketch_col, "blk.block_id", "blk.block_val")
+    if bucket_cap is not None:
+        stacked = cap_hot_buckets(stacked, ["block_id", "block_val"], bucket_cap)
+    a, b = stacked.alias("a"), stacked.alias("b")
+    ham = F.bit_count(
+        F.col(f"a.{sketch_col}").bitwiseXOR(F.col(f"b.{sketch_col}"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
