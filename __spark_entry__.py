@@ -25,9 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from ycrawl_spark.queries import QUERIES
+    from ycrawl_spark.queries import ordered_queries
 
-    return dict(QUERIES)
+    # The driver gates only the first 50 entries; ordered_queries() pins
+    # those slots to DRIVER_WINDOW (50 oracle-backed queries, rotated per
+    # round for cumulative driver coverage — see queries.py).
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -41,6 +41,18 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         return f"rowcount {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
         return f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    # The driver's value-hash is dtype-sensitive: a DuckDB HUGEINT sum
+    # materialized as float64 (7957.0) hash-mismatches Spark's bigint
+    # (7957) even though the values compare equal after normalization.
+    # Mirror that strictness: int-vs-float kind divergence is a failure.
+    for c in a.columns:
+        ka = "f" if pd.api.types.is_float_dtype(a[c]) else (
+            "i" if pd.api.types.is_integer_dtype(a[c]) else "o")
+        kb = "f" if pd.api.types.is_float_dtype(b[c]) else (
+            "i" if pd.api.types.is_integer_dtype(b[c]) else "o")
+        if {ka, kb} == {"i", "f"}:
+            return (f"col {c} dtype kind spark={a[c].dtype} duck={b[c].dtype}"
+                    " (driver hash is dtype-sensitive: cast the oracle)")
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c].values, b[c].values

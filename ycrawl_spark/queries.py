@@ -666,7 +666,8 @@ def exact_dedup_prefix(spark, sf_dir):
         SELECT *, row_number() OVER (PARTITION BY prefix_fp ORDER BY doc_id) AS rn
         FROM lab) WHERE rn = 1
     )
-    SELECT lang_guess, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT lang_guess, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(stop_ratio) AS min_stop_ratio, MAX(stop_ratio) AS max_stop_ratio
     FROM kept
     WHERE n_tokens >= 6 AND stop_ratio <= 0.5
@@ -2595,7 +2596,8 @@ def label_centroid_stats(spark, sf_dir):
              GROUP BY 1, 2),
     c AS (SELECT label, dim,
                  CAST(ROUND(centroid * 1000000) AS BIGINT) AS c6 FROM craw)
-    SELECT x.vec_id, x.label, SUM((x.v6 - c.c6) * (x.v6 - c.c6)) AS d2q
+    SELECT x.vec_id, x.label,
+           CAST(SUM((x.v6 - c.c6) * (x.v6 - c.c6)) AS BIGINT) AS d2q
     FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
     GROUP BY 1, 2
     ORDER BY d2q DESC, vec_id ASC LIMIT 20
@@ -2904,3 +2906,78 @@ def simhash_md5_near_dups(spark, sf_dir):
     sketch-only oracle coverage to pair-level."""
     sketch = textops.simhash_md5(load(spark, sf_dir, "documents"))
     return textops.simhash16_near_dups(sketch, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Driver gate window.
+#
+# The driver's correctness gate checks only the FIRST 50 entries of
+# ``queries()`` (registration order).  Round 2 burned three of those slots
+# on rows-only (no-oracle) sketch variants while 40+ oracle-checked queries
+# sat past position 50 and never got driver verification (VERDICT r02 §2).
+# ``DRIVER_WINDOW`` pins the 50 gate slots explicitly: every name here has
+# a DuckDB oracle, and the list rotates per round so queries that were
+# driver-green in an earlier round cede their slot to never-yet-gated ones
+# (cumulative driver coverage instead of re-proving the same 50).
+# ``__spark_entry__.queries()`` orders the registry by this list; everything
+# else follows in registration order.  tests/test_registry.py pins the
+# invariants (exactly 50 names, all registered, all oracle-backed).
+# ---------------------------------------------------------------------------
+DRIVER_WINDOW: list[str] = [
+    "training_data_prep",        # r02's one red row — oracle dtype fixed, re-gate
+    "distinct_users_daily",
+    "asof_last_click",
+    "cosine_topk",
+    "cosine_dup_pairs",
+    "embedding_label_norms",
+    "stream_windowed_counts",
+    "retry_threshold_gate",
+    "coalesce_error_frames",
+    "quarantine_errors",
+    "qr_cross_stride_urls",
+    "calendar_min_marker",
+    "trend_selected_vs_alt",
+    "scan_files_accounting",
+    "fx_snapshot_fallback",
+    "symmetric_date_window",
+    "cube_order_counts",
+    "near_dup_components",
+    "pack_sequence_chunks",
+    "mixture_sampling",
+    "pii_redaction",
+    "near_dup_dedup",
+    "tfidf_top_terms",
+    "block_dedup_stats",
+    "exact_group_percentiles",
+    "unpivot_lineitem_measures",
+    "grouping_sets_order_stats",
+    "ntile_price_quartiles",
+    "custkey_intersect_except",
+    "top_tokens_global",
+    "jsonl_source_roundtrip",
+    "csv_source_roundtrip",
+    "sliding_chunks_rag",
+    "dataset_split_assign",
+    "group_sample_topk",
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "label_centroid_stats",
+    "centroid_outliers",
+    "nearest_class_mean",
+    "salted_hot_key_agg",
+    "gap_fill_forward",
+    "numeric_profile",
+    "measure_correlation",
+    "levenshtein_candidates",
+    "simhash_md5_near_dups",
+    "geo_status_normalize",      # r01-green, fell out of the r02 window
+    "rollup_order_counts",       # r01-green, fell out of the r02 window
+    "route_canonicalize",        # r01-green, fell out of the r02 window
+    "msg_pivot_groups",          # r01-green, fell out of the r02 window
+]
+
+
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry reordered so DRIVER_WINDOW occupies the first 50 slots."""
+    rest = [n for n in QUERIES if n not in set(DRIVER_WINDOW)]
+    return {n: QUERIES[n] for n in [*DRIVER_WINDOW, *rest]}
