@@ -242,3 +242,27 @@ def test_pii_redaction_single_scan_no_shuffle(spark):
     plan = plan_of(spark, "pii_redaction", "simple")
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", [
+    "minhash_lsh_candidates", "simhash_near_dups",
+    "ngram_shared_pairs", "simhash_md5_near_dups",
+])
+def test_lsh_pair_generation_has_no_self_join(spark, name):
+    """LSH candidate pairing is collect_set-per-bucket + in-row suffix
+    expansion (textops.bucket_pairs) — NOT a bucket self-join. A
+    self-join re-derives the whole sketch subtree once per side
+    (measured 1.5-3× slower, VERDICT r02); the pinned shape scans the
+    sketch ONCE: zero join nodes anywhere in the pair plan."""
+    plan = plan_of(spark, name)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{name}: unexpected {node}"
+
+
+def test_minhash_pair_plan_single_sketch_scan(spark):
+    """The minhash pair plan reads the documents parquet exactly once
+    — the sketch (shingle + 16×array_min) is never recomputed for a
+    second join side."""
+    plan = plan_of(spark, "minhash_lsh_candidates", "simple")
+    assert plan.count("Scan parquet") == 1

@@ -269,13 +269,20 @@ def cap_hot_buckets(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
     the observed subtree gets duplicated by the downstream self-join and
     its metrics become undefined, measured on Spark 4.1).
 
-    Plan shape: the count agg is map-side combined and the back-join
-    co-partitions on the bucket key the self-join needs anyway, so the
-    cap adds no extra wide shuffle of the exploded frame.
+    Plan shape: a window count over the bucket key — ONE scan of the
+    exploded frame and one exchange, on exactly the key the downstream
+    self-join partitions by, so the join reuses the cap's shuffle
+    (pinned in tests/test_plans.py). The earlier count-agg + back-join
+    variant read the frame twice and re-derived the (expensive)
+    upstream sketch per branch — measured 1.5× slower on the minhash
+    bench (VERDICT r02 §perf).
     """
-    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_bucket_n"))
-    tagged = df.join(counts, list(key_cols))
-    return tagged.filter(F.col("_bucket_n") <= cap).drop("_bucket_n")
+    w = W.partitionBy(*key_cols)
+    return (
+        df.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
 
 
 def cap_drop_stats(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
@@ -293,6 +300,53 @@ def cap_drop_stats(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
         F.sum(F.when(F.col("_bucket_n") > cap, 1).otherwise(0))
         .cast("long").alias("n_hot_buckets"),
     )
+
+
+def bucket_pairs(df: DataFrame, key_cols: list[str], id_col: str = "doc_id",
+                 payload_cols: tuple[str, ...] = (),
+                 cap: int | None = None) -> DataFrame:
+    """All within-bucket ordered pairs (id_a < id_b) via collect_set +
+    in-row suffix expansion.
+
+    This replaces the bucket SELF-JOIN every LSH family used before:
+    a self-join duplicates the whole upstream subtree (shingle/minhash/
+    simhash sketch computation) once per side — measured 1.5× slower on
+    the minhash bench — while this shape scans the sketch ONCE and
+    shuffles once, on the bucket key. The per-bucket pair expansion is
+    in-row (posexplode + slice), so a bucket of m members emits
+    m(m−1)/2 pairs without any join; ``cap`` bounds m (same df-cap
+    semantics as ``cap_hot_buckets``, here a free filter on the
+    collected size — report drops via ``cap_drop_stats``). Memory per
+    task is O(cap) per carried row, never O(cap²).
+
+    ``payload_cols`` ride along per id (e.g. the sketch for exact
+    re-verification) and come back as ``<col>_a`` / ``<col>_b``.
+    """
+    item = F.struct(
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    agg = (
+        df.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(item)).alias("_items"))
+        .filter(F.size("_items") >= 2)
+    )
+    if cap is not None:
+        agg = agg.filter(F.size("_items") <= cap)
+    pairs = (
+        agg.select(F.posexplode("_items").alias("_i", "_a"), "_items")
+        .select(
+            "_a",
+            F.explode(F.expr("slice(_items, _i + 2, size(_items))")).alias("_b"),
+        )
+    )
+    out = [
+        F.col(f"_a._id").alias(f"{id_col}_a"),
+        F.col(f"_b._id").alias(f"{id_col}_b"),
+        *[F.col(f"_a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"_b.{c}").alias(f"{c}_b") for c in payload_cols],
+    ]
+    return pairs.select(*out)
 
 
 def shingles_col(tokens_col: str = "tokens", k: int = 4):
@@ -327,14 +381,10 @@ def ngram_shared_pairs(df: DataFrame, k: int = 4, min_common: int = 1,
         with_tokens(fan_out(df), text_col)
         .select("doc_id", F.explode(F.array_distinct(shingles_col("tokens", k))).alias("sh"))
     )
-    if bucket_cap is not None:
-        sh = cap_hot_buckets(sh, ["sh"], bucket_cap)
-    a = sh.alias("a")
-    b = sh.alias("b")
     return (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        bucket_pairs(sh, ["sh"], cap=bucket_cap)
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
         )
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
@@ -410,18 +460,9 @@ def minhash_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
             args=", ".join(f"{b}, band_{b}" for b in range(bands)),
         ),
     )
-    if bucket_cap is not None:
-        stacked = cap_hot_buckets(stacked, ["band_id", "band_hash"], bucket_cap)
-    a = stacked.alias("a")
-    b = stacked.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bucket_pairs(stacked, ["band_id", "band_hash"], cap=bucket_cap)
+        .select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
         .distinct()
     )
 
@@ -510,22 +551,14 @@ def simhash_near_dups_from_sketch(sketch: DataFrame, max_hamming: int = 8,
             args=", ".join(f"{i}, blk_{i}" for i in range(len(layout))),
         ),
     )
-    if bucket_cap is not None:
-        stacked = cap_hot_buckets(stacked, ["blk_id", "blk"], bucket_cap)
-    a = stacked.alias("a")
-    b = stacked.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.blk_id") == F.col("b.blk_id"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bucket_pairs(stacked, ["blk_id", "blk"], payload_cols=("_sk",),
+                     cap=bucket_cap)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a._sk").alias("sh_a"),
-            F.col("b._sk").alias("sh_b"),
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.col("_sk_a").alias("sh_a"),
+            F.col("_sk_b").alias("sh_b"),
         )
         .distinct()
     )
@@ -764,18 +797,9 @@ def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
             args=", ".join(f"{b}, band_{b}" for b in range(bands)),
         ),
     )
-    if bucket_cap is not None:
-        stacked = cap_hot_buckets(stacked, ["band_id", "band_hash"], bucket_cap)
-    a = stacked.alias("a")
-    b = stacked.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bucket_pairs(stacked, ["band_id", "band_hash"], cap=bucket_cap)
+        .select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
         .distinct()
     )
 
@@ -1120,23 +1144,16 @@ def simhash16_near_dups(sketch: DataFrame, max_hamming: int = 3,
             ])
         ).alias("blk"),
     ).select("doc_id", sketch_col, "blk.block_id", "blk.block_val")
-    if bucket_cap is not None:
-        stacked = cap_hot_buckets(stacked, ["block_id", "block_val"], bucket_cap)
-    a, b = stacked.alias("a"), stacked.alias("b")
     ham = F.bit_count(
-        F.col(f"a.{sketch_col}").bitwiseXOR(F.col(f"b.{sketch_col}"))
+        F.col(f"{sketch_col}_a").bitwiseXOR(F.col(f"{sketch_col}_b"))
     )
     return (
-        a.join(
-            b,
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bucket_pairs(stacked, ["block_id", "block_val"],
+                     payload_cols=(sketch_col,), cap=bucket_cap)
         .filter(ham <= max_hamming)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
             ham.alias("hamming"),
         )
         .distinct()
