@@ -83,8 +83,11 @@ class CrawlConfig:
     # the log's per-epoch snapshots are rewritten into one (see
     # catalog.Table.compact). At 10^3+ epochs this bounds manifest
     # growth and file-open fan-in; results are provably unchanged
-    # (equivalence asserted in tests/test_crawl_e2e.py).
-    log_compact_every: int = 0
+    # (equivalence asserted in tests/test_crawl_e2e.py). Default ON at
+    # 50: a 10^3-epoch crawl carries ≤50 live snapshots instead of 10^3,
+    # while short crawls (< 50 epochs, incl. the bench) never pay the
+    # rewrite; measured cost at cadence 3 in BASELINE.md.
+    log_compact_every: int = 50
 
     # Robots: hosts whose path prefix is disallowed are excluded at
     # frontier build (north_rule robots budget).
