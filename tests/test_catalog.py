@@ -89,3 +89,117 @@ def test_compact_preserves_content_and_epoch(spark, tmp_path):
     assert not any(os.path.exists(d) for d in old_dirs)
     # idempotent: a single-snapshot table has nothing to compact
     assert t.compact(spark) is None
+
+
+def test_concurrent_appends_never_lose_snapshots(tmp_path):
+    """16 threads race append_pdf on one table: every manifest
+    read-modify-write is serialized by the manifest flock, so all 16
+    snapshots survive (pre-lock, interleaved read→commit pairs silently
+    dropped each other's snapshot — ADVICE r02)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = Catalog(str(tmp_path)).table("counters")
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(
+            lambda i: t.append_pdf(pd.DataFrame({"n": [i]}), epoch=i),
+            range(16),
+        ))
+    snaps = t.snapshots()
+    assert len(snaps) == 16
+    assert sorted(s.epoch for s in snaps) == list(range(16))
+
+
+def test_compact_carries_concurrent_append(spark, tmp_path):
+    """Merge-on-commit: a snapshot appended AFTER compact reads its
+    base set but BEFORE it commits is carried forward, not dropped
+    (the Iceberg rewrite-retry analog)."""
+    cat = Catalog(str(tmp_path))
+    t = cat.table("log")
+    for e in (1, 2):
+        t.append(spark.range(e * 10, e * 10 + 3).toDF("id"), epoch=e)
+
+    orig_lock = t._manifest_lock
+
+    def lock_after_race():
+        # lands between compact's base read and its manifest commit
+        cat.table("log").append_pdf(pd.DataFrame({"id": [999]}), epoch=9)
+        t._manifest_lock = orig_lock  # fire once
+        return orig_lock()
+
+    t._manifest_lock = lock_after_race
+    t.compact(spark)
+    snaps = t.snapshots()
+    assert len(snaps) == 2  # compacted base + the raced append
+    assert snaps[0].meta.get("compacted_from") == 2
+    assert t.latest_epoch() == 9
+    got = sorted(r["id"] for r in t.read(spark).collect())
+    assert got == [10, 11, 12, 20, 21, 22, 999]
+
+
+def test_hidden_partitioning_days_prunes_files(spark, tmp_path):
+    """days(ts) hidden partitioning: a ts-range scan reads only the
+    matching day directories (file-level pruning, checked via
+    inputFiles), the derived column never surfaces, and values match a
+    plain row-filtered read."""
+    from pyspark.sql import functions as F
+
+    t = Catalog(str(tmp_path)).table("events")
+    t.set_partition_spec([("days", "ts")])
+    df = spark.range(1000).select(
+        "id",
+        F.expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,CAST(id % 10 AS INT),0,0,0)").alias("ts"),
+        (F.col("id") % 7).alias("v"),
+    )
+    t.append(df, epoch=1)
+
+    scan = t.scan(spark, ranges={"ts": ("2026-01-03", "2026-01-04")})
+    assert "_p_days_ts" not in scan.columns
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted")
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "_p_days_ts" in pf and ">= 2026-01-03" in pf  # dir-level prune
+    expect = (t.read(spark)
+              .filter(F.col("ts").between("2026-01-03", "2026-01-04")))
+    assert sorted(r["id"] for r in scan.collect()) == \
+        sorted(r["id"] for r in expect.collect())
+
+
+def test_hidden_partitioning_bucket_prunes_files(spark, tmp_path):
+    """bucket(8, host) transform: an equality scan reads only the one
+    matching bucket directory; a RANGE on host must NOT prune (a hash
+    cannot project ranges — rows still come back correct)."""
+    from pyspark.sql import functions as F
+
+    t = Catalog(str(tmp_path)).table("frontier")
+    t.set_partition_spec([("bucket", 8, "host")])
+    df = spark.range(800).select(
+        "id", F.concat(F.lit("host"), (F.col("id") % 40)).alias("host"))
+    t.append(df, epoch=1)
+
+    scan = t.scan(spark, eq={"host": "host7"})
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted")
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "_p_bucket8_host" in pf and "=" in pf  # one bucket dir read
+    assert sorted(r["id"] for r in scan.collect()) == \
+        sorted(range(7, 800, 40))
+
+
+def test_partition_evolution_respects_per_snapshot_spec(spark, tmp_path):
+    """Evolution contract: snapshots written BEFORE the spec scan
+    unpruned but correct; snapshots after re-layout and prune. One
+    logical table, two physical layouts, one answer."""
+    from pyspark.sql import functions as F
+
+    t = Catalog(str(tmp_path)).table("log")
+    mk = lambda lo: spark.range(lo, lo + 100).select(
+        "id", F.concat(F.lit("h"), (F.col("id") % 5)).alias("host"))
+    t.append(mk(0), epoch=1)                     # pre-spec layout
+    t.set_partition_spec([("bucket", 4, "host")])
+    t.append(mk(100), epoch=2)                   # bucketed layout
+    got = t.scan(spark, eq={"host": "h3"})
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        [*range(3, 100, 5), *range(103, 200, 5)])
+    # read() hides the derived column across mixed layouts
+    assert "_p_bucket4_host" not in t.read(spark).columns
+    assert t.read(spark).count() == 200

@@ -62,3 +62,33 @@ def test_parse_grammar_edges(spark):
         assert prefixes == expect, host
         assert "/" not in prefixes  # the decoy group's rule never leaks
         assert "" not in prefixes
+
+def test_named_agent_group_precedence(spark):
+    """robots.txt group precedence: a host that defines BOTH a named
+    group and ``*`` applies ONLY the named group to that agent (union
+    semantics over-block — ADVICE r02). Pinned against
+    urllib.robotparser on the same text."""
+    txt_both = (
+        "User-agent: ycrawl\nDisallow: /named/\n\n"
+        "User-agent: *\nDisallow: /star/\n"
+    )
+    txt_star_only = "User-agent: *\nDisallow: /star/\n"
+    df = spark.createDataFrame(
+        [("both.example.com", txt_both), ("star.example.com", txt_star_only)],
+        schema=robots.ROBOTS_SCHEMA,
+    )
+    rules = robots.parse_robots(df, user_agent="ycrawl")
+    got = {(r["host"], r["prefix"]) for r in rules.collect()}
+    assert got == {
+        ("both.example.com", "/named/"),   # named group only — no /star/
+        ("star.example.com", "/star/"),    # * group applies when no named
+    }
+    # stdlib oracle agrees on every (host, path) verdict
+    for host, txt in (("both.example.com", txt_both),
+                      ("star.example.com", txt_star_only)):
+        p = urllib.robotparser.RobotFileParser()
+        p.parse(txt.splitlines())
+        for path in ("/named/x", "/star/x", "/ok"):
+            expect = p.can_fetch("ycrawl", f"https://{host}{path}")
+            blocked = any(h == host and path.startswith(pre) for h, pre in got)
+            assert (not blocked) == expect, (host, path)

@@ -14,9 +14,11 @@ generalized to per-commit snapshots.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,26 +55,52 @@ class Table:
             json.dump([s.__dict__ for s in snaps], f)
         os.replace(tmp, self._manifest)  # atomic on POSIX
 
+    @contextmanager
+    def _manifest_lock(self):
+        """Exclusive lock over a manifest read-modify-write. Every
+        commit path re-reads the manifest INSIDE this lock before
+        swapping, so a snapshot appended by a concurrent writer between
+        an earlier read and the commit is never silently dropped (the
+        Iceberg optimistic-retry analog; here writers share a host so a
+        blocking flock is simpler and fair). Released on process death
+        automatically (flock semantics)."""
+        with open(os.path.join(self.path, ".manifest.lock"), "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
     def append(self, df: DataFrame, epoch: int | None = None,
                meta: dict | None = None, partition_by: list[str] | None = None) -> str:
-        """Write df as a new snapshot; commit = atomic manifest swap."""
+        """Write df as a new snapshot; commit = atomic manifest swap.
+        Under a partition spec (``set_partition_spec``) the writer
+        derives and lays out the hidden partition columns; the spec
+        used is recorded per snapshot (partition evolution)."""
         snap_id = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self.path, "data", snap_id)
+        spec = self.partition_spec() if not partition_by else []
+        if spec:
+            for name, expr in self._derived(spec):
+                df = df.withColumn(name, expr)
+            partition_by = [name for name, _ in self._derived(spec)]
+            meta = dict(meta or {}, spec=[list(t) for t in spec])
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        snaps = self.snapshots()
-        snaps.append(
-            Snapshot(
-                snapshot_id=snap_id,
-                sequence=len(snaps),
-                epoch=epoch,
-                files=[data_dir],
-                meta=meta or {},
+        with self._manifest_lock():
+            snaps = self.snapshots()
+            snaps.append(
+                Snapshot(
+                    snapshot_id=snap_id,
+                    sequence=len(snaps),
+                    epoch=epoch,
+                    files=[data_dir],
+                    meta=meta or {},
+                )
             )
-        )
-        self._commit(snaps)
+            self._commit(snaps)
         return snap_id
 
     def replace(self, df: DataFrame, epoch: int | None = None,
@@ -83,14 +111,15 @@ class Table:
         tables (e.g. ``seen_agg``) rewritten every epoch."""
         import shutil
 
-        old_dirs = [p for s in self.snapshots() for p in s.files]
         snap_id = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self.path, "data", snap_id)
         df.write.mode("overwrite").parquet(data_dir)
-        self._commit([
-            Snapshot(snapshot_id=snap_id, sequence=0, epoch=epoch,
-                     files=[data_dir], meta=meta or {})
-        ])
+        with self._manifest_lock():
+            old_dirs = [p for s in self.snapshots() for p in s.files]
+            self._commit([
+                Snapshot(snapshot_id=snap_id, sequence=0, epoch=epoch,
+                         files=[data_dir], meta=meta or {})
+            ])
         for d in old_dirs:  # best-effort GC; manifest no longer references them
             shutil.rmtree(d, ignore_errors=True)
         return snap_id
@@ -109,12 +138,13 @@ class Table:
         os.makedirs(data_dir, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
                        os.path.join(data_dir, "part-0.parquet"))
-        snaps = self.snapshots()
-        snaps.append(
-            Snapshot(snapshot_id=snap_id, sequence=len(snaps), epoch=epoch,
-                     files=[data_dir], meta=meta or {})
-        )
-        self._commit(snaps)
+        with self._manifest_lock():
+            snaps = self.snapshots()
+            snaps.append(
+                Snapshot(snapshot_id=snap_id, sequence=len(snaps), epoch=epoch,
+                         files=[data_dir], meta=meta or {})
+            )
+            self._commit(snaps)
         return snap_id
 
     def rollback(self, snapshot_id: str) -> None:
@@ -125,10 +155,11 @@ class Table:
         file-less dir to every later multi-path read."""
         import shutil
 
-        snaps = self.snapshots()
-        keep = [s for s in snaps if s.snapshot_id != snapshot_id]
-        dropped = [s for s in snaps if s.snapshot_id == snapshot_id]
-        self._commit(keep)
+        with self._manifest_lock():
+            snaps = self.snapshots()
+            keep = [s for s in snaps if s.snapshot_id != snapshot_id]
+            dropped = [s for s in snaps if s.snapshot_id == snapshot_id]
+            self._commit(keep)
         for s in dropped:
             for d in s.files:
                 shutil.rmtree(d, ignore_errors=True)
@@ -156,31 +187,170 @@ class Table:
         snaps = self.snapshots()
         if len(snaps) < min_snapshots:
             return None
+        base_ids = {s.snapshot_id for s in snaps}
         old_dirs = [p for s in snaps for p in s.files]
         epochs = [s.epoch for s in snaps if s.epoch is not None]
         snap_id = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self.path, "data", snap_id)
         spark.read.parquet(*old_dirs).write.mode("overwrite").parquet(data_dir)
-        self._commit([
-            Snapshot(snapshot_id=snap_id, sequence=0,
-                     epoch=max(epochs) if epochs else None,
-                     files=[data_dir],
-                     meta={"compacted_from": len(snaps)})
-        ])
+        with self._manifest_lock():
+            # merge-on-commit (the Iceberg rewrite retry analog): carry
+            # forward any snapshot appended since the base read — the
+            # rewrite replaces exactly the base set, never newer data.
+            tail = [s for s in self.snapshots()
+                    if s.snapshot_id not in base_ids]
+            merged = [
+                Snapshot(snapshot_id=snap_id, sequence=0,
+                         epoch=max(epochs) if epochs else None,
+                         files=[data_dir],
+                         meta={"compacted_from": len(snaps)})
+            ] + [
+                Snapshot(snapshot_id=s.snapshot_id, sequence=i + 1,
+                         epoch=s.epoch, files=s.files, meta=s.meta)
+                for i, s in enumerate(tail)
+            ]
+            self._commit(merged)
         for d in old_dirs:  # best-effort GC; manifest no longer references them
             shutil.rmtree(d, ignore_errors=True)
         return snap_id
 
+    # -- hidden partitioning / partition evolution (Iceberg transform
+    # spec analog). A spec is a list of transforms over SOURCE columns:
+    #   ("identity", col) | ("days", col) | ("bucket", N, col)
+    # The writer derives physical partition columns from the spec and
+    # partitionBy's them; queries never see or filter the derived
+    # columns — ``scan`` maps predicates on the source columns to
+    # partition predicates per snapshot (each snapshot records the spec
+    # it was written under, so changing the spec mid-table re-layouts
+    # FUTURE snapshots only, exactly Iceberg's partition evolution).
+
+    @property
+    def _spec_file(self) -> str:
+        return os.path.join(self.path, "partition_spec.json")
+
+    def set_partition_spec(self, spec: list[tuple]) -> None:
+        """Set the spec for future appends (partition evolution)."""
+        with self._manifest_lock():
+            tmp = self._spec_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump([list(t) for t in spec], f)
+            os.replace(tmp, self._spec_file)
+
+    def partition_spec(self) -> list[tuple]:
+        if not os.path.exists(self._spec_file):
+            return []
+        with open(self._spec_file) as f:
+            return [tuple(t) for t in json.load(f)]
+
+    @staticmethod
+    def _derived(spec: list[tuple]) -> list[tuple[str, "object"]]:
+        """(partition_col_name, Column expr) per spec field."""
+        from pyspark.sql import functions as F
+
+        out = []
+        for t in spec:
+            if t[0] == "identity":
+                out.append((f"_p_id_{t[1]}", F.col(t[1]).cast("string")))
+            elif t[0] == "days":
+                out.append((f"_p_days_{t[1]}",
+                            F.to_date(F.col(t[1])).cast("string")))
+            elif t[0] == "bucket":
+                n, col = int(t[1]), t[2]
+                out.append((f"_p_bucket{n}_{col}",
+                            F.pmod(F.xxhash64(F.col(col).cast("string")),
+                                   F.lit(n))))
+            else:
+                raise ValueError(f"unknown transform {t!r}")
+        return out
+
+    @staticmethod
+    def _partition_predicate(spec: list[tuple], eq: dict, ranges: dict):
+        """Map source-column predicates to partition-column predicates
+        under ``spec`` — the Iceberg transform-predicate projection.
+        Ranges prune days/identity; buckets prune equality only (a
+        range cannot be projected through a hash, so it stays
+        row-level — same rule as Iceberg)."""
+        from pyspark.sql import functions as F
+
+        pred = F.lit(True)
+        for t in spec:
+            if t[0] == "identity" and t[1] in eq:
+                pred &= F.col(f"_p_id_{t[1]}") == str(eq[t[1]])
+            elif t[0] == "days":
+                c = t[1]
+                if c in eq:
+                    pred &= F.col(f"_p_days_{c}") == F.to_date(
+                        F.lit(eq[c])).cast("string")
+                elif c in ranges:
+                    lo, hi = ranges[c]
+                    d = F.col(f"_p_days_{c}")
+                    pred &= (d >= F.to_date(F.lit(lo)).cast("string")) & (
+                        d <= F.to_date(F.lit(hi)).cast("string"))
+            elif t[0] == "bucket" and t[2] in eq:
+                n, c = int(t[1]), t[2]
+                pred &= F.col(f"_p_bucket{n}_{c}") == F.pmod(
+                    F.xxhash64(F.lit(str(eq[c]))), F.lit(n))
+        return pred
+
+    def scan(self, spark: SparkSession, eq: dict | None = None,
+             ranges: dict | None = None) -> DataFrame | None:
+        """Read with hidden-partition pruning: predicates are given on
+        SOURCE columns (``eq={"host": "h1"}``, ``ranges={"ts": (lo,
+        hi)}``); each snapshot prunes partitions through ITS OWN spec,
+        then the source predicate is re-applied row-level (partition
+        pruning is a superset prefilter). Snapshots written before any
+        spec (or under an older spec) scan unpruned — correct, just
+        unaided, which is Iceberg's evolution contract."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        eq, ranges = eq or {}, ranges or {}
+        parts = []
+        for s in self.snapshots():
+            df = spark.read.parquet(*s.files)
+            spec = [tuple(t) for t in s.meta.get("spec", [])]
+            if spec:
+                df = df.filter(self._partition_predicate(spec, eq, ranges))
+                df = df.drop(*[name for name, _ in self._derived(spec)])
+            parts.append(df)
+        if not parts:
+            return None
+        out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                     parts)
+        for c, v in eq.items():
+            out = out.filter(F.col(c) == v)
+        for c, (lo, hi) in ranges.items():
+            out = out.filter(F.col(c).between(lo, hi))
+        return out
+
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
-        """Union of all snapshot data up to ``as_of`` (time travel)."""
+        """Union of all snapshot data up to ``as_of`` (time travel).
+        Derived partition columns stay hidden."""
         snaps = self.snapshots()
         if as_of is not None:
             cut = next(i for i, s in enumerate(snaps) if s.snapshot_id == as_of)
             snaps = snaps[: cut + 1]
-        paths = [p for s in snaps for p in s.files]
-        if not paths:
+        specless = [s for s in snaps if not s.meta.get("spec")]
+        specful = [s for s in snaps if s.meta.get("spec")]
+        if not specless and not specful:
             return None
-        return spark.read.parquet(*paths)
+        if not specful:
+            paths = [p for s in specless for p in s.files]
+            return spark.read.parquet(*paths)
+        from functools import reduce
+
+        parts = []
+        if specless:
+            parts.append(
+                spark.read.parquet(*[p for s in specless for p in s.files]))
+        for s in specful:
+            df = spark.read.parquet(*s.files)
+            drop = [name for name, _ in
+                    self._derived([tuple(t) for t in s.meta["spec"]])]
+            parts.append(df.drop(*drop))
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
         """Read exactly one committed snapshot's files — the epoch loop

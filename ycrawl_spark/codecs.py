@@ -251,12 +251,21 @@ def decode_y4m(data: bytes) -> tuple[int, int, str, list[bytes]]:
             cs = tok
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    frame_bytes = int(_Y4M_PLANE_FACTOR.get(cs, 1.5) * w * h)
+    factor = _Y4M_PLANE_FACTOR.get(cs, 1.5)
+    if factor != int(factor) and (w % 2 or h % 2):
+        # 4:2:0/4:1:1 subsample half-resolution chroma planes; odd
+        # dimensions would make int(1.5*w*h) mis-size every frame.
+        raise ValueError(f"{cs} requires even dimensions, got {w}x{h}")
+    frame_bytes = int(factor * w * h)
     frames, pos = [], nl + 1
     while pos < len(data):
         if data[pos:pos + 5] != b"FRAME":
             raise ValueError(f"bad FRAME marker at {pos}")
         fnl = data.index(b"\n", pos)
+        if len(data) - (fnl + 1) < frame_bytes:
+            raise ValueError(
+                f"truncated Y4M stream: frame at {pos} has "
+                f"{len(data) - fnl - 1} of {frame_bytes} bytes")
         frames.append(data[fnl + 1:fnl + 1 + frame_bytes])
         pos = fnl + 1 + frame_bytes
     return w, h, cs, frames

@@ -399,7 +399,12 @@ def pq_train_codebooks(df: DataFrame, m_sub: int = 8, k_codes: int = 256,
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     ds = dim // m_sub
-    k = min(k_codes, max(8, len(mat) // 2))
+    # never ask for more codes than sampled rows: rng.choice(...,
+    # replace=False) raises on k > n (ADVICE r02); a tiny sample trains
+    # a tiny (but valid) codebook instead.
+    k = min(k_codes, max(8, len(mat) // 2), len(mat))
+    if k < 1:
+        raise ValueError("pq_train_codebooks: empty training sample")
     rng = np.random.Generator(np.random.PCG64(seed))
     books = np.zeros((m_sub, k, ds))
     for m in range(m_sub):
