@@ -2908,6 +2908,190 @@ def simhash_md5_near_dups(spark, sf_dir):
     return textops.simhash16_near_dups(sketch, max_hamming=3)
 
 
+def _ascii_fold7(expr: str) -> str:
+    """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
+    arithmetic — the only integer-from-md5 construction both engines
+    evaluate identically (see _MD5_TOK_VAL)."""
+    return " + ".join(
+        f"CAST(ascii(substr(md5({expr}), {j}, 1)) AS BIGINT) * {256 ** (j - 1)}"
+        for j in range(1, 8)
+    )
+
+
+def _crossmodal_oracle() -> str:
+    fold = _ascii_fold7("ik")
+    return f"""
+    WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents),
+    corpus AS (
+      SELECT doc_id, text AS caption,
+             'img:' || CAST(doc_id AS VARCHAR) AS ik, 0 AS flip
+      FROM docs
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' '),
+             'img:' || CAST(doc_id AS VARCHAR),
+             CAST(doc_id % 16 AS INT) + 1
+      FROM docs WHERE doc_id % 40 = 0
+      UNION ALL
+      SELECT doc_id + 3000000, text,
+             'img:' || CAST(doc_id + 3000000 AS VARCHAR), 0
+      FROM docs WHERE doc_id % 50 = 0),
+    sk AS (SELECT doc_id, caption,
+                  xor({fold},
+                      CASE WHEN flip > 0
+                           THEN CAST(1 AS BIGINT) << (flip - 1)
+                           ELSE CAST(0 AS BIGINT) END) AS img64
+           FROM corpus),
+    img_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.img64, b.img64)) <= 3),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(caption,' ')) - 3, 0)),
+             i -> array_to_string(string_split(caption,' ')[i:i+3], ' ')))) AS sh
+           FROM sk),
+    txt_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    img_edges AS (SELECT a, b FROM img_pairs UNION SELECT b, a FROM img_pairs),
+    img_reach(node, r) AS (
+      SELECT a, b FROM img_edges
+      UNION
+      SELECT img_reach.node, img_edges.b
+      FROM img_reach JOIN img_edges ON img_reach.r = img_edges.a),
+    img_lab AS (SELECT node, LEAST(node, MIN(r)) AS c
+                FROM img_reach GROUP BY node),
+    img_co AS (SELECT la.node AS doc_a, lb.node AS doc_b
+               FROM img_lab la JOIN img_lab lb
+               ON la.c = lb.c AND la.node < lb.node),
+    txt_edges AS (SELECT a, b FROM txt_pairs UNION SELECT b, a FROM txt_pairs),
+    txt_reach(node, r) AS (
+      SELECT a, b FROM txt_edges
+      UNION
+      SELECT txt_reach.node, txt_edges.b
+      FROM txt_reach JOIN txt_edges ON txt_reach.r = txt_edges.a),
+    txt_lab AS (SELECT node, LEAST(node, MIN(r)) AS c
+                FROM txt_reach GROUP BY node),
+    txt_co AS (SELECT la.node AS doc_a, lb.node AS doc_b
+               FROM txt_lab la JOIN txt_lab lb
+               ON la.c = lb.c AND la.node < lb.node)
+    SELECT doc_a, doc_b, 'image_dup_caption_mismatch' AS kind
+    FROM img_co i
+    WHERE NOT EXISTS (SELECT 1 FROM txt_co t
+                      WHERE t.doc_a = i.doc_a AND t.doc_b = i.doc_b)
+    UNION ALL
+    SELECT doc_a, doc_b, 'caption_dup_image_mismatch' AS kind
+    FROM txt_co t
+    WHERE NOT EXISTS (SELECT 1 FROM img_co i
+                      WHERE i.doc_a = t.doc_a AND i.doc_b = t.doc_b)
+    """
+
+
+@query(
+    "ivf_md5_ann_topk",
+    """
+    WITH x AS (SELECT vec_id, i - 1 AS dim,
+                      CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+               FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    cid AS (SELECT vec_id AS cid FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+    c AS (SELECT cid.cid, x.dim, x.v6 AS c6
+          FROM x JOIN cid ON x.vec_id = cid.cid),
+    d AS (SELECT x.vec_id, c.cid, SUM((x.v6 - c.c6) * (x.v6 - c.c6)) AS d2
+          FROM x JOIN c ON x.dim = c.dim
+          GROUP BY 1, 2),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY d2 ASC, cid ASC) AS rk FROM d),
+    cell AS (SELECT vec_id, cid FROM rk WHERE rk = 1),
+    probe AS (SELECT vec_id AS query_id, cid FROM rk
+              WHERE vec_id < 3 AND rk <= 2),
+    cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+             FROM probe p JOIN cell cl ON p.cid = cl.cid
+             WHERE cl.vec_id <> p.query_id),
+    dist AS (SELECT ca.query_id, ca.neighbor_id,
+                    CAST(SUM((q.v6 - n.v6) * (q.v6 - n.v6)) AS BIGINT) AS d2q
+             FROM cand ca
+             JOIN x q ON q.vec_id = ca.query_id
+             JOIN x n ON n.vec_id = ca.neighbor_id AND n.dim = q.dim
+             GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rank, d2q FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY d2q ASC, neighbor_id ASC) AS INT) AS rank
+      FROM dist) WHERE rank <= 10
+    """,
+)
+def ivf_md5_ann_topk(spark, sf_dir):
+    """Driver-verifiable quantized-ANN (VERDICT r02 #8): the IVF-flat
+    twin with deterministic md5-hash-min centroid sampling and exact
+    quantized-integer distances (vectors.ivf_exact_topk) — the oracle
+    reproduces cell assignment, 2-probe fan-out, and the in-cell exact
+    top-10 value-for-value, pinning the IVF candidate-set semantics the
+    pytest-only recall gates (ivf_ann_topk) can't value-check."""
+    return vectors.ivf_exact_topk(
+        load(spark, sf_dir, "embeddings"), n_queries=3, k=10)
+
+
+@query("crossmodal_dup_audit", _crossmodal_oracle())
+def crossmodal_dup_audit(spark, sf_dir):
+    """Joint-modality dedup audit (VERDICT r02 #7): image/caption pairs
+    whose IMAGE near-dup cluster and CAPTION near-dup cluster disagree
+    — the caption-farm / mismatched-alt-text signal a multimodal corpus
+    prep needs. Deterministic planted multimodal corpus over documents:
+    every 40th doc gets a twin with the SAME image (sketch hamming 1)
+    but a scrambled caption (token-reversed → zero shared shingles);
+    every 50th doc gets a twin with the same caption but a different
+    image. Pipeline: 64-bit md5 image sketch → the text SimHash block-
+    LSH pair engine (pigeonhole-complete at hamming ≤3) → connected
+    components, in parallel with 4-shingle caption pairs → components;
+    the audit is the symmetric difference of the two co-cluster pair
+    sets. Oracle: all-pairs hamming + shared-shingle pairs + two
+    recursive-CTE closures + anti-joins — both cluster engines AND the
+    composition are value-checked."""
+    fold = _ascii_fold7("ik")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.selectExpr(
+        "doc_id", "text AS caption",
+        "concat('img:', CAST(doc_id AS STRING)) AS ik", "0 AS flip")
+    twin_img = docs.filter("doc_id % 40 = 0").selectExpr(
+        "doc_id + 2000000 AS doc_id",
+        "array_join(reverse(split(text, ' ')), ' ') AS caption",
+        "concat('img:', CAST(doc_id AS STRING)) AS ik",
+        "CAST(doc_id % 16 AS INT) + 1 AS flip")
+    twin_txt = docs.filter("doc_id % 50 = 0").selectExpr(
+        "doc_id + 3000000 AS doc_id", "text AS caption",
+        "concat('img:', CAST(doc_id + 3000000 AS STRING)) AS ik", "0 AS flip")
+    sk = (
+        base.unionByName(twin_img).unionByName(twin_txt)
+        .selectExpr(
+            "doc_id", "caption",
+            f"({fold}) ^ (CASE WHEN flip > 0 THEN "
+            "shiftleft(CAST(1 AS BIGINT), flip - 1) "
+            "ELSE CAST(0 AS BIGINT) END) AS img64")
+    )
+    img_pairs = textops.simhash_near_dups_from_sketch(
+        sk.select("doc_id", "img64"), max_hamming=3,
+        sketch_col="img64", bucket_cap=10_000)
+    txt_pairs = textops.ngram_shared_pairs(
+        sk.select("doc_id", F.col("caption").alias("text")),
+        k=4, min_common=2)
+    img_comp = graph.connected_components(img_pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    txt_comp = graph.connected_components(txt_pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    img_co = textops.bucket_pairs(
+        img_comp, ["component"], id_col="node").select(
+        F.col("node_a").alias("doc_a"), F.col("node_b").alias("doc_b"))
+    txt_co = textops.bucket_pairs(
+        txt_comp, ["component"], id_col="node").select(
+        F.col("node_a").alias("doc_a"), F.col("node_b").alias("doc_b"))
+    img_only = img_co.join(txt_co, ["doc_a", "doc_b"], "left_anti").select(
+        "doc_a", "doc_b", F.lit("image_dup_caption_mismatch").alias("kind"))
+    txt_only = txt_co.join(img_co, ["doc_a", "doc_b"], "left_anti").select(
+        "doc_a", "doc_b", F.lit("caption_dup_image_mismatch").alias("kind"))
+    return img_only.unionByName(txt_only)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
@@ -2970,8 +3154,8 @@ DRIVER_WINDOW: list[str] = [
     "measure_correlation",
     "levenshtein_candidates",
     "simhash_md5_near_dups",
-    "geo_status_normalize",      # r01-green, fell out of the r02 window
-    "rollup_order_counts",       # r01-green, fell out of the r02 window
+    "crossmodal_dup_audit",      # r03: joint-modality dedup audit (VERDICT #7)
+    "ivf_md5_ann_topk",          # r03: value-gated quantized ANN (VERDICT #8)
     "route_canonicalize",        # r01-green, fell out of the r02 window
     "msg_pivot_groups",          # r01-green, fell out of the r02 window
 ]

@@ -645,3 +645,77 @@ def nearest_class_mean_confusion(df: DataFrame, vec_col: str = "embedding",
     return pred.groupBy("true_label", "pred_label").agg(
         F.count("*").alias("n")
     )
+
+
+def ivf_exact_topk(df: DataFrame, n_queries: int = 3, k: int = 10,
+                   n_cells: int = 8, n_probe: int = 2,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> DataFrame:
+    """Oracle-checkable IVF-flat twin of ``ivf_ann_topk`` (the
+    simhash16-vs-64 pattern): identical layout decisions — sampled
+    coarse centroids, nearest-cell assignment, n_probe cell fan-out,
+    exact re-rank inside probed cells — but every arithmetic step is
+    deterministic and SQL-expressible, so DuckDB reproduces the FULL
+    candidate set and ranking value-for-value:
+
+    * centroid sample = the ``n_cells`` rows minimizing
+      ``md5(vec_id)`` (the seeded hash-min sample, in a hash both
+      engines share);
+    * all distances are exact BIGINT sums over 1e-6-quantized
+      components (float summation order can differ per partitioning;
+      integers cannot);
+    * every argmin/top-k tie breaks on the id.
+
+    The production path (``ivf_ann_topk``) keeps the matmul Arrow UDF
+    and Lloyd refinement; this twin pins the IVF *semantics* (cell
+    routing, probe fan-out, in-cell exact re-rank) under the driver's
+    value gate."""
+    x = df.select(
+        id_col, F.posexplode(_as_double(emb_col)).alias("dim", "v")
+    ).select(
+        F.col(id_col).alias("vec_id"), "dim",
+        F.round(F.col("v") * 1_000_000).cast("long").alias("v6"),
+    )
+    cent_ids = (
+        df.select(F.col(id_col).alias("cid"))
+        .orderBy(F.md5(F.col("cid").cast("string")))
+        .limit(n_cells)
+    )
+    cents = x.join(
+        F.broadcast(cent_ids), x.vec_id == cent_ids.cid
+    ).select("cid", "dim", F.col("v6").alias("c6"))
+    d = (
+        x.join(F.broadcast(cents), "dim")
+        .withColumn("_dq", (F.col("v6") - F.col("c6")) * (F.col("v6") - F.col("c6")))
+        .groupBy("vec_id", "cid")
+        .agg(F.sum("_dq").alias("d2"))
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    ranked = d.withColumn("rk", F.row_number().over(w_cell))
+    cells = ranked.filter(F.col("rk") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter(F.col("vec_id") < n_queries)
+        .filter(F.col("rk") <= n_probe)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        probes.join(cells, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = x.select(F.col("vec_id").alias("query_id"), "dim",
+                 F.col("v6").alias("q6")).filter(F.col("query_id") < n_queries)
+    dist = (
+        cand.join(q, "query_id")
+        .join(x.withColumnRenamed("vec_id", "neighbor_id")
+               .withColumnRenamed("v6", "n6"), ["neighbor_id", "dim"])
+        .withColumn("_dq", (F.col("q6") - F.col("n6")) * (F.col("q6") - F.col("n6")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_dq").cast("long").alias("d2q"))
+    )
+    w_k = W.partitionBy("query_id").orderBy(F.asc("d2q"), F.asc("neighbor_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2q")
+    )
