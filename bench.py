@@ -57,6 +57,8 @@ HEADLINE = [
     "image_phash_near_dups",   # image near-dup via phash block LSH
     "training_data_prep",      # end-to-end corpus prep composition
     "near_dup_components",     # pair graph → connected components
+    "crossmodal_dup_audit",    # joint-modality cluster disagreement
+    "ivf_md5_ann_topk",        # deterministic IVF cell-probe ANN
 ]
 
 

@@ -193,3 +193,33 @@ def test_image_dedup_clusters_match_union_find(spark):
         clusters.setdefault(find(r["image_id"]), []).append(r["image_id"])
     expect = sorted(min(members) for members in clusters.values())
     assert kept == expect
+
+
+def test_integrity_audit_flags_exactly_planted_faults(spark):
+    """integrity_audit over corrupted_images_df: the flagged id set
+    equals the planted ground truth; metadata lies are detected as a
+    1-bit phash mismatch with intact decode + dims; clean rows show
+    hamming 0 and no flags."""
+    from ycrawl_spark import multimodal, synth
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=300, n_hosts=8)
+    imgs = synth.corrupted_images_df(spark, cfg)
+    truth = {r["image_id"]: r["fault"] for r in
+             imgs.select("image_id", "fault").collect()}
+    audit = {r["image_id"]: r for r in
+             multimodal.integrity_audit(imgs).collect()}
+    assert set(audit) == set(truth)
+    flagged = {
+        iid for iid, r in audit.items()
+        if (not r["decode_ok"]) or r["dim_mismatch"] or r["phash_mismatch"]
+    }
+    assert flagged == {iid for iid, f in truth.items() if f}
+    assert flagged  # non-vacuous
+    for iid, r in audit.items():
+        if truth[iid] == "lie":
+            assert r["decode_ok"] and not r["dim_mismatch"]
+            assert r["phash_mismatch"] and r["phash_hamming"] == 1
+        elif truth[iid] == "":
+            assert r["decode_ok"] and r["phash_hamming"] == 0
+            assert not r["dim_mismatch"] and not r["phash_mismatch"]

@@ -163,3 +163,53 @@ def video_frame_sample(videos: DataFrame, every_n: int = 4,
                               "colorspace"])
 
     return videos.select("video_id", "bytes").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+INTEGRITY_SCHEMA = (
+    "image_id string, decode_ok boolean, dim_mismatch boolean, "
+    "phash_mismatch boolean, phash_hamming int"
+)
+
+
+def integrity_audit(images: DataFrame) -> DataFrame:
+    """Payload-integrity audit over the input_hint image table
+    (image_id, bytes, w, h, phash): re-decode every payload and
+    cross-check the DECLARED metadata against what the bytes actually
+    contain — the data-quality gate a crawl corpus needs before
+    training (bit-rot, truncated uploads, metadata lies, re-encoded
+    swaps all surface here, not at training time).
+
+    Per row: decode_ok (payload parses at all), dim_mismatch (decoded
+    w×h vs declared), phash_mismatch + hamming distance (recomputed
+    perceptual hash vs stored — hamming 0 means intact, small values
+    mean re-encode/minor corruption, large values mean wrong image).
+    Arrow-batched mapInPandas, no per-row Python UDF; a decode failure
+    flags the row instead of failing the stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for iid, raw, w, h, ph in zip(
+                b["image_id"], b["bytes"], b["w"], b["h"], b["phash"]
+            ):
+                try:
+                    px = codecs.decode(bytes(raw))
+                except Exception:
+                    rows.append((iid, False, None, None, None))
+                    continue
+                ah, aw, _ = px.shape
+                actual = int(codecs.phash64(px))
+                ham = bin((actual ^ int(ph)) & ((1 << 64) - 1)).count("1")
+                rows.append(
+                    (iid, True, (aw, ah) != (int(w), int(h)),
+                     actual != int(ph), ham)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "decode_ok", "dim_mismatch",
+                         "phash_mismatch", "phash_hamming"],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "phash").mapInPandas(
+        run, INTEGRITY_SCHEMA
+    )

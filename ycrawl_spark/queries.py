@@ -1639,6 +1639,26 @@ def multimodal_image_features(spark, sf_dir):
     return multimodal.image_features(synth.images_df(spark, cfg))
 
 
+@query("image_integrity_audit")  # binary decode audit (rows-only)
+def image_integrity_audit(spark, sf_dir):
+    """Payload-integrity audit over the input_hint image table
+    (multimodal.integrity_audit): re-decode every payload and flag
+    rows whose declared metadata lies — dim mismatch, phash mismatch
+    (with hamming distance), or undecodable bytes. Planted faults
+    (synth.corrupted_images_df: tail-quarter bit-rot + falsified-phash
+    metadata lies) make the result non-vacuous; flag-set equality vs
+    the planted ground truth is pinned in tests/test_multimodal.py."""
+    from . import multimodal, synth
+
+    cfg = _tiny_cfg()
+    audit = multimodal.integrity_audit(synth.corrupted_images_df(spark, cfg))
+    return audit.filter(
+        (~F.col("decode_ok"))
+        | F.col("dim_mismatch")
+        | F.col("phash_mismatch")
+    )
+
+
 @query("image_phash_near_dups")  # binary decode + sketch LSH (rows-only)
 def image_phash_near_dups(spark, sf_dir):
     """Image near-duplicate detection: decode binary payloads →
@@ -2908,6 +2928,121 @@ def simhash_md5_near_dups(spark, sf_dir):
     return textops.simhash16_near_dups(sketch, max_hamming=3)
 
 
+def _minhash_jaccard_oracle(n_perm: int = 16, bands: int = 4, k: int = 4) -> str:
+    rows = n_perm // bands
+    sig_cols = ",\n           ".join(
+        f"min(md5('p{i}:' || s)) AS s{i}" for i in range(n_perm)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"s{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(n_perm)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tokens) - {k - 1}, 0) + 1),
+               i -> array_to_string(tokens[i:i+{k - 1}], ' '))) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sig AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM ex GROUP BY doc_id
+    ), sigsh AS (
+      SELECT sig.*, sh.shingles FROM sig JOIN sh USING (doc_id)
+    ), banded AS (
+      {band_selects}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST({match_sum} AS BIGINT) AS n_match,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter_n,
+           CAST(len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS union_n
+    FROM pairs p
+    JOIN sigsh a ON a.doc_id = p.doc_a
+    JOIN sigsh b ON b.doc_id = p.doc_b
+    """
+
+
+@query("minhash_jaccard_estimate", _minhash_jaccard_oracle())
+def minhash_jaccard_estimate(spark, sf_dir):
+    """MinHash threshold-calibration audit
+    (textops.minhash_md5_jaccard_audit): for every banded-LSH candidate
+    pair, the sketch's Jaccard estimate (matching components / 16)
+    beside the exact shingle Jaccard as an integer rational — how a
+    dedup pipeline picks its similarity cutoff. All-integer output, so
+    the oracle match is value-exact."""
+    return textops.minhash_md5_jaccard_audit(
+        load(spark, sf_dir, "documents"), n_perm=16, bands=4, k=4)
+
+
+@query(
+    "incremental_dedup_new_batch",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 5000000 AS doc_id, text FROM base WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 6000000,
+             'novel ' || CAST(doc_id AS VARCHAR) || ' ' || text
+      FROM base WHERE doc_id % 30 = 0),
+    basefp AS (SELECT DISTINCT
+                 md5(array_to_string(string_split(text,' ')[1:32], ' ')) AS fp
+               FROM base),
+    batchfp AS (SELECT doc_id,
+                  md5(array_to_string(string_split(text,' ')[1:32], ' ')) AS fp
+                FROM batch),
+    kept AS (SELECT * FROM batchfp
+             WHERE fp NOT IN (SELECT fp FROM basefp))
+    SELECT doc_id, fp FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept) WHERE rn = 1
+    """,
+)
+def incremental_dedup_new_batch(spark, sf_dir):
+    """Incremental (continuous-crawl) dedup: a NEW ingest batch is
+    deduplicated against the EXISTING corpus by content fingerprint —
+    the operational mode a perpetual crawl runs in, distinct from
+    within-corpus dedup. Planted batch: every 25th doc re-ingested
+    verbatim (must be dropped by the anti-join vs base fingerprints)
+    and every 30th doc prefixed into a genuinely novel one (must
+    survive); within-batch collisions keep the smallest doc_id. At
+    scale this is one anti-join against the fingerprint table plus a
+    per-fingerprint window over the (small) batch."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter("doc_id % 25 = 0").selectExpr(
+        "doc_id + 5000000 AS doc_id", "text"
+    ).unionByName(docs.filter("doc_id % 30 = 0").selectExpr(
+        "doc_id + 6000000 AS doc_id",
+        "concat('novel ', CAST(doc_id AS STRING), ' ', text) AS text"))
+    fp = F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 32), " "))
+    base_fp = docs.select(fp.alias("fp")).distinct()
+    kept = (
+        batch.select("doc_id", fp.alias("fp"))
+        .join(base_fp, "fp", "left_anti")
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fp")
+    )
+
+
 def _ascii_fold7(expr: str) -> str:
     """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
     arithmetic — the only integer-from-md5 construction both engines
@@ -3156,8 +3291,8 @@ DRIVER_WINDOW: list[str] = [
     "simhash_md5_near_dups",
     "crossmodal_dup_audit",      # r03: joint-modality dedup audit (VERDICT #7)
     "ivf_md5_ann_topk",          # r03: value-gated quantized ANN (VERDICT #8)
-    "route_canonicalize",        # r01-green, fell out of the r02 window
-    "msg_pivot_groups",          # r01-green, fell out of the r02 window
+    "minhash_jaccard_estimate",  # r03: sketch-vs-exact threshold audit
+    "incremental_dedup_new_batch",  # r03: continuous-crawl dedup mode
 ]
 
 

@@ -233,3 +233,43 @@ def politeness_pdf(cfg: CrawlConfig) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+def corrupted_images_df(spark, cfg: CrawlConfig,
+                        bitrot_every: int = 17,
+                        lie_every: int = 23):
+    """images_df with deterministic planted integrity faults for the
+    audit operator: every ``bitrot_every``-th row (i % bitrot_every
+    == 3) has the tail quarter of its payload bit-inverted past the
+    header (silent storage corruption — decode may still succeed with
+    wrong pixels, or fail outright), and every ``lie_every``-th row
+    (i % lie_every == 5) keeps its payload intact but declares a
+    falsified phash (metadata lie). Ground truth ``fault`` column:
+    '' | 'bitrot' | 'lie' (a row hit by both counts as bitrot)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in (int(v) for v in b["id"]):
+                r = codecs.make_image_row(image_id_for(i))
+                r["fault"] = ""
+                if i % bitrot_every == 3:
+                    data = bytearray(r["bytes"])
+                    start = max(32, (3 * len(data)) // 4)
+                    for j in range(start, len(data)):
+                        data[j] ^= 0xFF
+                    r["bytes"] = bytes(data)
+                    r["fault"] = "bitrot"
+                elif i % lie_every == 5:
+                    v = (int(r["phash"]) & ((1 << 64) - 1)) ^ (1 << (i % 64))
+                    # wrap back to the signed-int64 view Arrow expects
+                    r["phash"] = v - (1 << 64) if v >= (1 << 63) else v
+                    r["fault"] = "lie"
+                rows.append(r)
+            yield pd.DataFrame(rows)
+
+    n_parts = max(8, cfg.n_urls // 10_000)
+    return (
+        spark.range(0, cfg.n_urls, numPartitions=n_parts)
+        .mapInPandas(gen, schema=IMAGES_SCHEMA + ", fault string")
+    )

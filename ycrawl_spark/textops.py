@@ -467,6 +467,69 @@ def minhash_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
     )
 
 
+def minhash_md5_jaccard_audit(df: DataFrame, n_perm: int = 16,
+                              bands: int = 4, k: int = 4,
+                              text_col: str = "text",
+                              bucket_cap: int | None = 10_000) -> DataFrame:
+    """Calibration audit for MinHash dedup thresholds: for every banded-
+    LSH candidate pair, the MinHash Jaccard ESTIMATE (matching signature
+    components out of n_perm) next to the EXACT shingle Jaccard as a
+    rational (inter_n / union_n) — all integers, so the comparison is
+    value-exact cross-engine. This is how a corpus-prep pipeline picks
+    its dedup threshold: the estimate is what the cheap sketch says,
+    the exact value is ground truth on the (small) candidate set.
+
+    Plan shape: one signature scan feeds the pair generation
+    (bucket_pairs — no self-join), then the narrow (doc_a, doc_b) pair
+    ids join the doc-keyed signature frame twice; at corpus scale the
+    pair side is the small one and the joins co-partition on doc id.
+    """
+    rows_per_band = n_perm // bands
+    sigs = minhash_md5_signatures(df, n_perm, k, text_col)
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[
+                F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)
+            ])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    stacked = sigs.select("doc_id", *band_cols).selectExpr(
+        "doc_id",
+        "stack({n}, {args}) as (band_id, band_hash)".format(
+            n=bands,
+            args=", ".join(f"{b}, band_{b}" for b in range(bands)),
+        ),
+    )
+    pairs = (
+        bucket_pairs(stacked, ["band_id", "band_hash"], cap=bucket_cap)
+        .select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+        .distinct()
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(n_perm)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(n_perm)],
+    )
+    n_match = sum(
+        F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+        for i in range(n_perm)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            n_match.cast("long").alias("n_match"),
+            inter.cast("long").alias("inter_n"),
+            (F.size("sh_a") + F.size("sh_b") - inter).cast("long").alias("union_n"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc, fully JVM-side.
 
@@ -756,6 +819,25 @@ def validate_shape(df: DataFrame, array_cols: list[str]) -> DataFrame:
     return df.withColumn("shape_ok", ok)
 
 
+def minhash_md5_signatures(df: DataFrame, n_perm: int = 16, k: int = 4,
+                           text_col: str = "text") -> DataFrame:
+    """(doc_id, sh, s0..s{n_perm-1}) md5-permutation MinHash signatures
+    plus the distinct shingle set — perm_i(s) = md5('p{i}:' || s),
+    signature_i = lexicographic MIN. Every hash is md5 so a DuckDB
+    oracle reproduces the values exactly; docs shorter than k tokens
+    have no shingles and are excluded."""
+    t = with_tokens(fan_out(df), text_col).withColumn(
+        "sh", F.array_distinct(shingles_col("tokens", k))
+    ).filter(F.size("sh") > 0)
+    sig = [
+        F.array_min(
+            F.expr(f"transform(sh, s -> md5(concat('p{i}:', s)))")
+        ).alias(f"s{i}")
+        for i in range(n_perm)
+    ]
+    return t.select("doc_id", "sh", *sig)
+
+
 def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
                                k: int = 4, text_col: str = "text",
                                bucket_cap: int | None = 10_000) -> DataFrame:
@@ -771,16 +853,7 @@ def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
     ``cap_hot_buckets``) sits far above any test-SF bucket so the
     SQL oracle — which has no cap — still matches exactly."""
     rows_per_band = n_perm // bands
-    t = with_tokens(fan_out(df), text_col).withColumn(
-        "sh", F.array_distinct(shingles_col("tokens", k))
-    ).filter(F.size("sh") > 0)
-    sig = [
-        F.array_min(
-            F.expr(f"transform(sh, s -> md5(concat('p{i}:', s)))")
-        ).alias(f"s{i}")
-        for i in range(n_perm)
-    ]
-    sigs = t.select("doc_id", *sig)
+    sigs = minhash_md5_signatures(df, n_perm, k, text_col).drop("sh")
     band_cols = [
         F.md5(
             F.concat_ws(",", *[
