@@ -216,3 +216,27 @@ def test_frontier_ingestion_crawls_only_delta(spark, tmp_path_factory):
     assert (done1 | forf1) - (done0 | forf0) == new_keys
     log = Catalog(wd).table("fetch_log").read(spark)
     assert log.filter(~F.col("key").isin(list(new_keys))).count() == log_before
+
+
+def test_frontier_bucket_spec_prunes_host_scan(spark, crawl_run):
+    """north_rule layout: run_crawl creates the frontier under a hidden
+    bucket(N, canonical_host) partition spec, so a host-scoped scan
+    prunes to that host's bucket directory (PartitionFilters in the
+    plan) and matches a full-scan row filter exactly; the pipeline's
+    own read() path never sees the derived column."""
+    from ycrawl_spark.catalog import Catalog
+
+    wd, _ = crawl_run
+    t = Catalog(wd).table("frontier")
+    assert t.partition_spec() == [("bucket", CFG.n_buckets, "canonical_host")]
+    host = "host003.example.com"
+    scan = t.scan(spark, eq={"canonical_host": host})
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted")
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert f"_p_bucket{CFG.n_buckets}_canonical_host" in pf
+    expect = t.read(spark).filter(F.col("canonical_host") == host)
+    assert sorted(r["key"] for r in scan.collect()) == \
+        sorted(r["key"] for r in expect.collect())
+    assert scan.count() > 0
+    assert "_p_bucket" not in str(t.read(spark).columns)

@@ -103,3 +103,35 @@ def test_shingle_pairs_property(spark, docs, k):
                 if common >= 1:
                     expect[(i, j)] = common
     assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 6)),  # (doc_id, bucket)
+        min_size=0, max_size=60,
+    ),
+    cap=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_bucket_pairs_property(spark, rows, cap):
+    """bucket_pairs == the brute-force capped bucket self-join for ANY
+    (id, bucket) multiset: same ordered pair set, no dupes, cap drops
+    whole buckets by DISTINCT member count."""
+    df = spark.createDataFrame(
+        [(d, b) for d, b in rows], "doc_id long, bucket long"
+    ).repartition(5)
+    got = sorted(
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in textops.bucket_pairs(df, ["bucket"], cap=cap).collect()
+    )
+    members: dict[int, set[int]] = {}
+    for d, b in rows:
+        members.setdefault(b, set()).add(d)
+    expect = sorted(
+        (a, b)
+        for ids in members.values()
+        if 2 <= len(ids) <= cap
+        for a in ids for b in ids if a < b
+    )
+    assert got == expect
+    assert len(got) == len(set(got))

@@ -327,6 +327,16 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
     cat = Catalog(workdir)
     frontier_t = cat.table("frontier")
     if frontier_t.read(spark) is None:
+        # north_rule layout: the frontier lives bucketed by
+        # canonicalized-host hash — a hidden bucket(N, canonical_host)
+        # partition spec, so host-scoped reads (per-host audits, retry
+        # sweeps, politeness forensics) prune to one bucket directory
+        # instead of scanning 10^10 rows (catalog.Table.scan projects
+        # host-equality through the spec; pruning pinned in
+        # tests/test_catalog.py / test_crawl_e2e.py).
+        if cfg.n_buckets and not frontier_t.partition_spec():
+            frontier_t.set_partition_spec(
+                [("bucket", cfg.n_buckets, "canonical_host")])
         frontier_t.append(synth.frontier_df(spark, cfg), epoch=0)
     frontier = frontier_t.read(spark).filter(F.col("robots_ok")).persist()
 

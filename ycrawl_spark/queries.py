@@ -1602,6 +1602,56 @@ def stream_windowed_counts(spark, sf_dir):
     return spark.table(name)
 
 
+@query(
+    "stream_seen_first_event",
+    """
+    SELECT user_id, event_id AS first_event_id,
+           event_type AS first_event_type
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY event_id) AS rn FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_seen_first_event(spark, sf_dir):
+    """The streaming URL-seen dedup (applyInPandasWithState, bucket-
+    sharded state — streaming.stateful_seen_filter) made ORACLE-
+    checkable: the events table is rewritten as ONE event_id-sorted
+    file, so 'first occurrence across micro-batches' is exactly
+    min(event_id) per user — a SQL-expressible ground truth for the
+    custom stateful operator the crawl uses as its streaming seen-set.
+    (Single sorted input partition → single mapper per state bucket →
+    deterministic in-group order; the cross-batch state carry is
+    separately pinned in tests/test_streaming.py.)"""
+    import os
+
+    from . import streaming
+
+    d = tempfile.mkdtemp(prefix="ycrawl_stream_seen_")
+    src = os.path.join(d, "in")
+    ev = (
+        load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .coalesce(1)
+        .selectExpr(
+            "CAST(user_id AS STRING) AS key",
+            "concat('h', CAST(user_id % 5 AS STRING)) AS canonical_host",
+            "CAST(1 AS INT) AS epoch", "CAST(1 AS INT) AS attempt",
+            "event_id AS shuffle_rank", "event_type AS status",
+            "value AS exetime",
+        )
+    )
+    ev.write.parquet(src)
+    stream = streaming.stream_source(spark, src, streaming.FETCH_LOG_SCHEMA)
+    deduped = streaming.stateful_seen_filter(stream, n_buckets=8)
+    name = streaming.run_available_now(
+        deduped, os.path.join(d, "ckpt"), out_mode="append")
+    return spark.table(name).selectExpr(
+        "CAST(key AS BIGINT) AS user_id",
+        "shuffle_rank AS first_event_id",
+        "status AS first_event_type",
+    )
+
+
 @query("robots_gate_split")  # crawl-domain synth input (rows-only)
 def robots_gate_split(spark, sf_dir):
     """Distributed robots.txt parse (JVM split/posexplode + UA-group
@@ -3210,10 +3260,23 @@ def crossmodal_dup_audit(spark, sf_dir):
     txt_pairs = textops.ngram_shared_pairs(
         sk.select("doc_id", F.col("caption").alias("text")),
         k=4, min_common=2)
-    img_comp = graph.connected_components(img_pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
-    txt_comp = graph.connected_components(txt_pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    # The two component computations are independent iterative jobs
+    # (driver loop + localCheckpoint per round); submitting them from
+    # two driver threads lets their stages interleave on the cluster —
+    # the standard Spark concurrent-jobs pattern — instead of running
+    # the two O(log n)-round loops back-to-back.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        img_f = ex.submit(
+            graph.connected_components,
+            img_pairs.select(F.col("doc_a").alias("src"),
+                             F.col("doc_b").alias("dst")))
+        txt_f = ex.submit(
+            graph.connected_components,
+            txt_pairs.select(F.col("doc_a").alias("src"),
+                             F.col("doc_b").alias("dst")))
+        img_comp, txt_comp = img_f.result(), txt_f.result()
     img_co = textops.bucket_pairs(
         img_comp, ["component"], id_col="node").select(
         F.col("node_a").alias("doc_a"), F.col("node_b").alias("doc_b"))
@@ -3259,7 +3322,7 @@ DRIVER_WINDOW: list[str] = [
     "scan_files_accounting",
     "fx_snapshot_fallback",
     "symmetric_date_window",
-    "cube_order_counts",
+    "stream_seen_first_event",   # r03: oracle-gated stateful streaming dedup
     "near_dup_components",
     "pack_sequence_chunks",
     "mixture_sampling",
