@@ -266,3 +266,31 @@ def test_minhash_pair_plan_single_sketch_scan(spark):
     second join side."""
     plan = plan_of(spark, "minhash_lsh_candidates", "simple")
     assert plan.count("Scan parquet") == 1
+
+
+def test_incremental_dedup_is_anti_join_no_python(spark):
+    """Incremental dedup's corpus check is a real anti-join (the
+    scalable membership shape) with zero Python in the plan."""
+    plan = plan_of(spark, "incremental_dedup_new_batch")
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_export_shard_window_is_partition_local(spark):
+    """Export sharding rides the two-phase prefix sum: the data-sized
+    window partitions by the physical partition id (_pid), never a
+    global single-partition window."""
+    plan = plan_of(spark, "export_shard_assignment")
+    assert "_pid" in plan
+    # broadcast of the tiny per-partition offsets frame, not a shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aspect_bucket_single_scan_partial_agg(spark):
+    """Aspect bucketing is an in-row projection + map-side-combined
+    rollup: one scan, partial aggregate before the exchange, no joins."""
+    plan = plan_of(spark, "aspect_bucket_assign", "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    pre_exchange = plan.split("Exchange hashpartitioning")[0]
+    assert "HashAggregate" in pre_exchange

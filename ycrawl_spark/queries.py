@@ -3093,6 +3093,153 @@ def incremental_dedup_new_batch(spark, sf_dir):
     )
 
 
+@query(
+    "export_shard_assignment",
+    """
+    WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+               FROM documents),
+    c AS (SELECT doc_id, n,
+                 COALESCE(SUM(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS start_tok
+          FROM t)
+    SELECT CAST(start_tok // 4096 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM c GROUP BY 1
+    """,
+)
+def export_shard_assignment(spark, sf_dir):
+    """Training-export sharding (the WebDataset/tar-shard layout):
+    route each document to the size-balanced output shard its global
+    token offset starts in (docs stay atomic — a shard closes when the
+    running token count crosses the target), and report per-shard
+    stats. Rides the same scalable two-phase prefix sum as sequence
+    packing (textops.pack_concat_chunks with ctx = shard size: the
+    first_chunk IS the shard id) — never a global single-partition
+    window. Oracle = the SQL running-sum cumsum."""
+    packed = textops.pack_concat_chunks(
+        load(spark, sf_dir, "documents"), ctx=4096)
+    return (
+        packed.groupBy(F.col("first_chunk").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+_ASPECT_BUCKETS = [  # (name, num, den) — the SD-style training ladder
+    ("square_1_1", 1, 1),
+    ("landscape_4_3", 4, 3),
+    ("portrait_3_4", 3, 4),
+    ("wide_16_9", 16, 9),
+    ("tall_9_16", 9, 16),
+]
+
+
+def _aspect_case(engine: str) -> str:
+    """Integer-exact nearest-aspect-bucket argmin, identical SQL for
+    Spark and DuckDB: minimize |w·den − h·num| (cross-multiplied, no
+    float ratios), ties broken by ladder order via strict '<' scans."""
+    best = "NULL"
+    for name, n, d in reversed(_ASPECT_BUCKETS):
+        cond = " AND ".join(
+            f"abs(w * {d} - h * {n}) <= abs(w * {d2} - h * {n2})"
+            for name2, n2, d2 in _ASPECT_BUCKETS if name2 != name
+        )
+        best = f"CASE WHEN {cond} THEN '{name}' ELSE {best} END"
+    return best
+
+
+@query(
+    "aspect_bucket_assign",
+    f"""
+    WITH dims AS (
+      SELECT doc_id AS image_id,
+             200 + (doc_id * 37) % 400 AS w,
+             150 + (doc_id * 53) % 500 AS h
+      FROM documents)
+    SELECT bucket, COUNT(*) AS n_images,
+           MIN(w * 10000 // h) AS min_ar4, MAX(w * 10000 // h) AS max_ar4
+    FROM (SELECT image_id, w, h, {_aspect_case('duck')} AS bucket FROM dims)
+    GROUP BY 1
+    """,
+)
+def aspect_bucket_assign(spark, sf_dir):
+    """Aspect-ratio bucketing — the image-training batching trick
+    (group images into a fixed ladder of aspect buckets so batches
+    share a shape and crops stay minimal). Deterministic dims derived
+    from doc_id stand in for the image table's (w, h); the
+    nearest-bucket argmin is INTEGER-exact (minimize |w·den − h·num|,
+    cross-multiplied — no float ratios, no cross-engine rounding), so
+    the oracle matches value-for-value. In-row projection + one
+    map-side-combined count: no shuffle beyond the rollup."""
+    dims = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id AS image_id",
+        "200 + (doc_id * 37) % 400 AS w",
+        "150 + (doc_id * 53) % 500 AS h",
+    )
+    bucketed = dims.selectExpr(
+        "image_id", "w", "h", f"{_aspect_case('spark')} AS bucket")
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min(F.expr("w * 10000 div h")).alias("min_ar4"),
+            F.max(F.expr("w * 10000 div h")).alias("max_ar4"),
+        )
+    )
+
+
+@query(
+    "normalized_dedup_groups",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+      FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 4000000,
+               upper(text) || '!!'
+        FROM documents WHERE doc_id % 35 = 0))
+    SELECT norm_fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM norm GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def normalized_dedup_groups(spark, sf_dir):
+    """Normalization-then-dedup: the canonicalization pass every text
+    dedup runs first (lowercase, strip punctuation, collapse
+    whitespace, trim) followed by exact fingerprint grouping. Planted
+    shouting-case twins ('UPPER TEXT!!' re-ingests of every 35th doc)
+    normalize to their base's fingerprint, so the >1 groups fire
+    non-vacuously and the collapse is value-checked. JVM regexp only
+    (RE2/Java-common syntax), md5 fingerprints — exact cross-engine."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter("doc_id % 35 = 0").selectExpr(
+            "doc_id + 4000000 AS doc_id",
+            "concat(upper(text), '!!') AS text"))
+    norm_fp = F.md5(F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " ")))
+    return (
+        corpus.select("doc_id", norm_fp.alias("norm_fp"))
+        .groupBy("norm_fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def _ascii_fold7(expr: str) -> str:
     """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
     arithmetic — the only integer-from-md5 construction both engines
