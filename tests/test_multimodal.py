@@ -223,3 +223,46 @@ def test_integrity_audit_flags_exactly_planted_faults(spark):
         elif truth[iid] == "":
             assert r["decode_ok"] and r["phash_hamming"] == 0
             assert not r["dim_mismatch"] and not r["phash_mismatch"]
+
+
+def test_video_frame_dedup_matches_bruteforce(spark):
+    """Frame-level video dedup: the distributed pipeline (Y4M decode →
+    frame phash → block-LSH → exact hamming) returns EXACTLY the
+    brute-force all-pairs hamming≤2 set computed from the ground-truth
+    scene hashes — static in-video runs and the planted cross-video
+    shared intro both collapse, distinct scenes never pair."""
+    from ycrawl_spark import codecs, multimodal, synth, textops
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=400, n_hosts=8)
+    n_videos, w, h = 16, 32, 24
+    sketch = multimodal.video_frame_phash(
+        synth.videos_df(spark, cfg, n_videos=n_videos, w=w, h=h)
+    ).select(F.col("frame_key").alias("doc_id"), "phash")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in textops.simhash_near_dups_from_sketch(
+            sketch, max_hamming=2, sketch_col="phash",
+            bucket_cap=10_000).collect()
+    }
+    # ground truth straight from the shared pure functions
+    frames = []
+    for v in range(n_videos):
+        for idx, sid in enumerate(synth.video_scene_plan(v)):
+            ph = codecs.phash64(codecs.gen_pixels(sid, w, h))
+            frames.append((f"vid_{v:06d}:{idx}", ph, sid))
+    expect = set()
+    for i in range(len(frames)):
+        for j in range(i + 1, len(frames)):
+            a, b = frames[i], frames[j]
+            ham = bin((a[1] ^ b[1]) & ((1 << 64) - 1)).count("1")
+            if ham <= 2:
+                ka, kb = sorted((a[0], b[0]))
+                expect.add((ka, kb, ham))
+    assert got == expect
+    same_scene = {(min(a[0], b[0]), max(a[0], b[0]))
+                  for i, a in enumerate(frames) for b in frames[i + 1:]
+                  if a[2] == b[2]}
+    assert same_scene <= {(a, b) for a, b, _ in got}  # every planted dup found
+    cross_video = [p for p in got if p[0].split(":")[0] != p[1].split(":")[0]]
+    assert cross_video  # the shared-intro clips pair across videos

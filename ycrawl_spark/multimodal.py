@@ -213,3 +213,37 @@ def integrity_audit(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "phash").mapInPandas(
         run, INTEGRITY_SCHEMA
     )
+
+
+FRAME_PHASH_SCHEMA = "frame_key string, video_id string, frame_idx int, phash long"
+
+
+def video_frame_phash(videos: DataFrame, every_n: int = 1) -> DataFrame:
+    """Per-frame perceptual hashes over sampled video frames: the
+    keyframe-dedup front end (static scenes, duplicated clips, shared
+    intros all collapse to tiny-hamming phash pairs). Real path is the
+    C444 Y4M planar payload reshaped back to (h, w, 3); non-planar
+    payloads are skipped (a compressed codec would land here)."""
+
+    frames = video_frame_sample(videos, every_n=every_n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for vid, idx, raw, w, h, cs in zip(
+                b["video_id"], b["frame_idx"], b["frame"],
+                b["w"], b["h"], b["colorspace"],
+            ):
+                if cs != "C444" or w is None:
+                    continue
+                w, h = int(w), int(h)
+                px = np.frombuffer(bytes(raw), dtype=np.uint8)
+                if px.size != 3 * w * h:
+                    continue
+                px = px.reshape(3, h, w).transpose(1, 2, 0)
+                out.append((f"{vid}:{int(idx)}", vid, int(idx),
+                            int(codecs.phash64(px))))
+            yield pd.DataFrame(
+                out, columns=["frame_key", "video_id", "frame_idx", "phash"])
+
+    return frames.mapInPandas(run, FRAME_PHASH_SCHEMA)

@@ -1709,6 +1709,26 @@ def image_integrity_audit(spark, sf_dir):
     )
 
 
+@query("video_frame_dedup")  # video decode + frame phash LSH (rows-only)
+def video_frame_dedup(spark, sf_dir):
+    """Video keyframe dedup: real Y4M decode → per-frame perceptual
+    hash (multimodal.video_frame_phash) → the SAME block-LSH + exact
+    hamming pair engine as text SimHash and image phash — one dedup
+    engine across all three modalities. Planted structure
+    (synth.video_scene_plan): static scene runs within a video and a
+    shared intro clip across every 4th video pair. Pair-set equality
+    vs brute-force all-pairs hamming on the ground-truth scene hashes
+    is pinned in tests/test_multimodal.py."""
+    from . import multimodal, synth
+
+    cfg = _tiny_cfg()
+    sketch = multimodal.video_frame_phash(
+        synth.videos_df(spark, cfg, n_videos=24)
+    ).select(F.col("frame_key").alias("doc_id"), "phash")
+    return textops.simhash_near_dups_from_sketch(
+        sketch, max_hamming=2, sketch_col="phash", bucket_cap=10_000)
+
+
 @query("image_phash_near_dups")  # binary decode + sketch LSH (rows-only)
 def image_phash_near_dups(spark, sf_dir):
     """Image near-duplicate detection: decode binary payloads →

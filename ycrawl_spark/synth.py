@@ -273,3 +273,46 @@ def corrupted_images_df(spark, cfg: CrawlConfig,
         spark.range(0, cfg.n_urls, numPartitions=n_parts)
         .mapInPandas(gen, schema=IMAGES_SCHEMA + ", fault string")
     )
+
+
+def video_scene_plan(v: int, n_scenes: int = 3) -> list[str]:
+    """Scene id per frame of video ``v`` — the planted dedup ground
+    truth. Scenes repeat within a video (static runs: s0 s0 s0 s1 s1
+    s2) and every 4th video (v % 4 == 1) OPENS with the previous
+    video's first scene — the duplicated-clip / shared-intro signal a
+    video corpus dedup must find. Pure function shared by the engine
+    fixture and the test oracle."""
+    scenes = [f"scene:{v}:{s}" for s in range(n_scenes)]
+    if v % 4 == 1 and v > 0:
+        scenes[0] = f"scene:{v - 1}:0"
+    plan = []
+    for rep, sid in zip((3, 2, 1), scenes):
+        plan += [sid] * rep
+    return plan
+
+
+def videos_df(spark, cfg: CrawlConfig, n_videos: int | None = None,
+              w: int = 32, h: int = 24):
+    """Deterministic Y4M video table (video_id, bytes, n_frames):
+    frames are per-scene noise images repeated per video_scene_plan —
+    real YUV4MPEG2 containers (codecs.encode_y4m C444), decoded by the
+    real parser on the read side."""
+    n_videos = n_videos or max(16, cfg.n_urls // 25)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for v in (int(i) for i in b["id"]):
+                plan = video_scene_plan(v)
+                frames = [codecs.gen_pixels(sid, w, h) for sid in plan]
+                rows.append({
+                    "video_id": f"vid_{v:06d}",
+                    "bytes": codecs.encode_y4m(frames, colorspace="C444"),
+                    "n_frames": len(plan),
+                })
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_videos, numPartitions=8)
+        .mapInPandas(gen, schema="video_id string, bytes binary, n_frames int")
+    )
