@@ -59,6 +59,8 @@ HEADLINE = [
     "near_dup_components",     # pair graph → connected components
     "crossmodal_dup_audit",    # joint-modality cluster disagreement
     "ivf_md5_ann_topk",        # deterministic IVF cell-probe ANN
+    "video_frame_dedup",       # Y4M decode → frame phash → LSH
+    "export_shard_assignment", # prefix-sum shard routing
 ]
 
 

@@ -115,8 +115,11 @@ def test_shingle_pairs_property(spark, docs, k):
 @settings(**SETTINGS)
 def test_bucket_pairs_property(spark, rows, cap):
     """bucket_pairs == the brute-force capped bucket self-join for ANY
-    (id, bucket) multiset: same ordered pair set, no dupes, cap drops
-    whole buckets by DISTINCT member count."""
+    (id, bucket) multiset: same ordered pair MULTISET — a pair sharing
+    k buckets appears k times, exactly like the self-join it replaced
+    (ngram_shared_pairs counts that multiplicity as n_common; LSH
+    callers collapse it with distinct()); cap drops whole buckets by
+    DISTINCT member count."""
     df = spark.createDataFrame(
         [(d, b) for d, b in rows], "doc_id long, bucket long"
     ).repartition(5)
@@ -133,5 +136,4 @@ def test_bucket_pairs_property(spark, rows, cap):
         if 2 <= len(ids) <= cap
         for a in ids for b in ids if a < b
     )
-    assert got == expect
-    assert len(got) == len(set(got))
+    assert got == expect  # multiset equality: sorted lists, dupes count

@@ -3260,6 +3260,85 @@ def normalized_dedup_groups(spark, sf_dir):
     )
 
 
+@query(
+    "corpus_drift_tvd",
+    """
+    WITH lab AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(string_split(text, ' '),
+                          t -> t IN ('query','table','scan','join'))) >
+                       len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the','a','fast','slow')))
+                  THEN 'qu' ELSE 'en' END AS lang_guess,
+             CASE WHEN doc_id % 3 = 0 THEN 'v2' ELSE 'v1' END AS version
+      FROM documents),
+    c AS (SELECT version, lang_guess, COUNT(*) AS n
+          FROM lab GROUP BY 1, 2),
+    tot AS (SELECT version, CAST(SUM(n) AS BIGINT) AS total
+            FROM c GROUP BY 1),
+    wide AS (
+      SELECT COALESCE(a.lang_guess, b.lang_guess) AS lang_guess,
+             COALESCE(a.n, 0) AS n1, COALESCE(b.n, 0) AS n2
+      FROM (SELECT * FROM c WHERE version = 'v1') a
+      FULL OUTER JOIN (SELECT * FROM c WHERE version = 'v2') b
+      ON a.lang_guess = b.lang_guess)
+    SELECT w.lang_guess,
+           CAST(w.n1 AS BIGINT) AS n_v1, CAST(w.n2 AS BIGINT) AS n_v2,
+           CAST(abs(w.n1 * t2.total - w.n2 * t1.total) AS BIGINT) AS tvd_num,
+           CAST(t1.total * t2.total AS BIGINT) AS tvd_den
+    FROM wide w,
+         (SELECT total FROM tot WHERE version = 'v1') t1,
+         (SELECT total FROM tot WHERE version = 'v2') t2
+    """,
+)
+def corpus_drift_tvd(spark, sf_dir):
+    """Dataset-drift monitoring between two corpus versions: per-label
+    total-variation-distance contributions as EXACT integer rationals —
+    |n1·N2 − n2·N1| over N1·N2 (sum/2 = the TVD) — so the drift metric
+    is bit-identical on any cluster shape and engine, unlike a
+    float KL. Versions are a deterministic split of the corpus (every
+    3rd doc is 'v2'); labels are a two-way marker-count language guess
+    computed identically in both engines. One narrow count shuffle +
+    a tiny two-row full-outer compare frame."""
+    docs = load(spark, sf_dir, "documents")
+    lab = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN size(filter(split(text, ' '),"
+        " t -> t IN ('query','table','scan','join'))) >"
+        " size(filter(split(text, ' '),"
+        " t -> t IN ('the','a','fast','slow')))"
+        " THEN 'qu' ELSE 'en' END AS lang_guess",
+        "CASE WHEN doc_id % 3 = 0 THEN 'v2' ELSE 'v1' END AS version",
+    )
+    c = lab.groupBy("version", "lang_guess").agg(F.count("*").alias("n"))
+    tot = c.groupBy("version").agg(F.sum("n").cast("long").alias("total"))
+    a = c.filter("version = 'v1'").select(
+        "lang_guess", F.col("n").alias("n1"))
+    b = c.filter("version = 'v2'").select(
+        "lang_guess", F.col("n").alias("n2"))
+    wide = (
+        a.join(b, "lang_guess", "full_outer")
+        .select(
+            "lang_guess",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+        )
+    )
+    t1 = tot.filter("version = 'v1'").select(F.col("total").alias("t1"))
+    t2 = tot.filter("version = 'v2'").select(F.col("total").alias("t2"))
+    return (
+        wide.crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(t2))
+        .select(
+            "lang_guess",
+            F.col("n1").cast("long").alias("n_v1"),
+            F.col("n2").cast("long").alias("n_v2"),
+            F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+            .cast("long").alias("tvd_num"),
+            (F.col("t1") * F.col("t2")).cast("long").alias("tvd_den"),
+        )
+    )
+
+
 def _ascii_fold7(expr: str) -> str:
     """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
     arithmetic — the only integer-from-md5 construction both engines

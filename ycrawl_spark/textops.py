@@ -339,6 +339,10 @@ def bucket_pairs(df: DataFrame, key_cols: list[str], id_col: str = "doc_id",
             "_a",
             F.explode(F.expr("slice(_items, _i + 2, size(_items))")).alias("_b"),
         )
+        # a duplicated id with two distinct payloads collects as two
+        # adjacent items — never a self-pair (the old strict-< join
+        # semantics, preserved)
+        .filter(F.col("_a._id") != F.col("_b._id"))
     )
     out = [
         F.col(f"_a._id").alias(f"{id_col}_a"),
