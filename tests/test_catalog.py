@@ -203,3 +203,31 @@ def test_partition_evolution_respects_per_snapshot_spec(spark, tmp_path):
     # read() hides the derived column across mixed layouts
     assert "_p_bucket4_host" not in t.read(spark).columns
     assert t.read(spark).count() == 200
+
+
+def test_compact_preserves_hidden_partitioning(spark, tmp_path):
+    """Compacting a spec-partitioned table must not leak the derived
+    _p_* columns into the table schema (they are per-snapshot storage
+    artifacts), and the compacted snapshot re-lays-out under the
+    CURRENT spec so host scans still prune — pre-spec snapshots get
+    rewritten INTO the evolved layout (rewrite_data_files semantics)."""
+    from pyspark.sql import functions as F
+
+    t = Catalog(str(tmp_path)).table("frontier")
+    mk = lambda lo: spark.range(lo, lo + 100).select(
+        "id", F.concat(F.lit("h"), (F.col("id") % 5)).alias("host"))
+    t.append(mk(0), epoch=1)                       # pre-spec layout
+    t.set_partition_spec([("bucket", 4, "host")])
+    t.append(mk(100), epoch=2)
+    t.append(mk(200), epoch=3)
+    assert t.compact(spark) is not None
+    got = t.read(spark)
+    assert got.columns == ["id", "host"]           # no _p_* leak
+    assert got.count() == 300
+    assert t.latest_epoch() == 3
+    scan = t.scan(spark, eq={"host": "h2"})
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted")
+    assert "_p_bucket4_host" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert sorted(r["id"] for r in scan.collect()) == \
+        sorted(i for i in range(300) if i % 5 == 2)

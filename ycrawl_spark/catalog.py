@@ -179,6 +179,15 @@ class Table:
         travel before the compaction point is intentionally expired,
         exactly like ``expire_snapshots``.
 
+        Hidden-partition interplay: each base snapshot's DERIVED
+        partition columns are dropped before the rewrite (they are
+        storage artifacts of that snapshot's spec, not table columns),
+        and the compacted snapshot re-lays-out under the table's
+        CURRENT spec and records it — so compaction doubles as the
+        "rewrite old data into the evolved layout" maintenance action
+        Iceberg's rewrite_data_files performs, and ``read``/``scan``
+        semantics are unchanged.
+
         Returns the new snapshot id, or None if there was nothing to
         compact (fewer than ``min_snapshots`` live snapshots).
         """
@@ -192,7 +201,28 @@ class Table:
         epochs = [s.epoch for s in snaps if s.epoch is not None]
         snap_id = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self.path, "data", snap_id)
-        spark.read.parquet(*old_dirs).write.mode("overwrite").parquet(data_dir)
+
+        from functools import reduce
+
+        parts = []
+        for s in snaps:
+            df = spark.read.parquet(*s.files)
+            spec_s = [tuple(t) for t in s.meta.get("spec", [])]
+            if spec_s:
+                df = df.drop(*[name for name, _ in self._derived(spec_s)])
+            parts.append(df)
+        data = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+        cur_spec = self.partition_spec()
+        meta: dict = {"compacted_from": len(snaps)}
+        writer = data.write.mode("overwrite")
+        if cur_spec:
+            for name, expr in self._derived(cur_spec):
+                data = data.withColumn(name, expr)
+            writer = data.write.mode("overwrite").partitionBy(
+                *[name for name, _ in self._derived(cur_spec)])
+            meta["spec"] = [list(t) for t in cur_spec]
+        writer.parquet(data_dir)
         with self._manifest_lock():
             # merge-on-commit (the Iceberg rewrite retry analog): carry
             # forward any snapshot appended since the base read — the
@@ -203,7 +233,7 @@ class Table:
                 Snapshot(snapshot_id=snap_id, sequence=0,
                          epoch=max(epochs) if epochs else None,
                          files=[data_dir],
-                         meta={"compacted_from": len(snaps)})
+                         meta=meta)
             ] + [
                 Snapshot(snapshot_id=s.snapshot_id, sequence=i + 1,
                          epoch=s.epoch, files=s.files, meta=s.meta)
