@@ -3339,6 +3339,97 @@ def corpus_drift_tvd(spark, sf_dir):
     )
 
 
+@query(
+    "incremental_components",
+    """
+    WITH RECURSIVE base_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM documents a JOIN documents b
+        ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id + 40 = b.doc_id
+      WHERE (a.doc_id // 40) % 2 = 0),
+    new_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM documents a JOIN documents b
+        ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id + 40 = b.doc_id
+      WHERE (a.doc_id // 40) % 2 = 1),
+    all_edges AS (
+      SELECT a, b FROM base_pairs UNION SELECT b, a FROM base_pairs
+      UNION SELECT a, b FROM new_pairs UNION SELECT b, a FROM new_pairs),
+    reach(node, r) AS (
+      SELECT a, b FROM all_edges
+      UNION
+      SELECT reach.node, all_edges.b
+      FROM reach JOIN all_edges ON reach.r = all_edges.a)
+    SELECT node, LEAST(node, MIN(r)) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def incremental_components(spark, sf_dir):
+    """Incremental near-dup cluster maintenance: given EXISTING
+    component labels and a NEW batch of candidate pairs, update the
+    labeling WITHOUT re-running clustering over the historical pair
+    set — the old labels re-enter as (node → component) star edges, so
+    the union graph has one edge per already-clustered node plus the
+    delta, not the full pair history. The continuous-crawl form of
+    near-dup clustering (a perpetual pipeline can't re-closure 10^10
+    historical pairs per ingest). Deterministic split: alternating
+    SEGMENTS of each doc-id chain are 'existing' vs 'new', so the
+    delta edges genuinely MERGE previously-separate clusters; the
+    oracle closures the FULL union and must agree exactly — proving
+    label re-entry loses nothing."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    chain = docs.alias("a").join(
+        docs.alias("b"),
+        (F.col("a.doc_id") % 40 == F.col("b.doc_id") % 40)
+        & (F.col("a.doc_id") + 40 == F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    seg = F.expr("(src div 40) % 2")
+    base = chain.filter(seg == 0)
+    delta = chain.filter(seg == 1)
+    # phase 1: the "historical" clustering, already materialized
+    labels = graph.connected_components(base)
+    # phase 2: incremental update — labels re-enter as star edges
+    label_edges = labels.select(
+        F.col("node").alias("src"), F.col("component").alias("dst"))
+    updated = graph.connected_components(label_edges.unionByName(delta))
+    # nodes whose label equals themselves and never re-entered stay;
+    # the star edges guarantee every previously-labeled node is present
+    return updated.select("node", "component")
+
+
+@query(
+    "contrastive_negatives",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             md5(CAST(doc_id AS VARCHAR)) AS coin
+      FROM documents)
+    SELECT doc_id AS anchor_id, lang,
+           LEAD(doc_id, 1) OVER w AS neg1_id,
+           LEAD(doc_id, 2) OVER w AS neg2_id
+    FROM r
+    WINDOW w AS (PARTITION BY lang ORDER BY coin, doc_id)
+    """,
+)
+def contrastive_negatives(spark, sf_dir):
+    """Contrastive-training negative assignment (CLIP-style pairing
+    prep): each anchor document gets two deterministic in-group
+    negatives — its successors in an md5-shuffled order within the
+    same language — so every rerun and every cluster shape yields the
+    SAME negative pairing (a float RNG would not), group tails
+    naturally get nulls, and no self-pairing is possible. One window
+    over a seeded-shuffle sort key: the standard scalable shape for
+    in-batch negative mining."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return docs.select(
+        F.col("doc_id").alias("anchor_id"), "lang",
+        F.lead("doc_id", 1).over(w).alias("neg1_id"),
+        F.lead("doc_id", 2).over(w).alias("neg2_id"),
+    )
+
+
 def _ascii_fold7(expr: str) -> str:
     """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
     arithmetic — the only integer-from-md5 construction both engines
