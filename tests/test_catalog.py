@@ -231,3 +231,34 @@ def test_compact_preserves_hidden_partitioning(spark, tmp_path):
     assert "_p_bucket4_host" in plan.split("PartitionFilters: [")[1].split("]")[0]
     assert sorted(r["id"] for r in scan.collect()) == \
         sorted(i for i in range(300) if i % 5 == 2)
+
+
+def test_compact_aborts_when_base_snapshot_vanishes(spark, tmp_path):
+    """CAS guard: if a base snapshot was replaced/rolled back between
+    compact's read and its commit, the rewrite would RESURRECT removed
+    data — compact must abort (return None), leave the manifest
+    untouched, and GC its own rewrite dir."""
+    import glob
+    import os
+
+    cat = Catalog(str(tmp_path))
+    t = cat.table("state")
+    for e in (1, 2):
+        t.append(spark.range(e * 10, e * 10 + 3).toDF("id"), epoch=e)
+
+    orig_lock = t._manifest_lock
+
+    def lock_after_replace():
+        cat.table("state").replace(
+            spark.createDataFrame([(999,)], "id long"), epoch=9)
+        t._manifest_lock = orig_lock
+        return orig_lock()
+
+    t._manifest_lock = lock_after_replace
+    assert t.compact(spark) is None
+    assert [r["id"] for r in t.read(spark).collect()] == [999]
+    assert t.latest_epoch() == 9
+    # exactly one live data dir (the replace's); the aborted rewrite GC'd
+    live = {p for s in t.snapshots() for p in s.files}
+    on_disk = set(glob.glob(os.path.join(str(tmp_path), "state", "data", "*")))
+    assert on_disk == live

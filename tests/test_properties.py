@@ -119,7 +119,8 @@ def test_bucket_pairs_property(spark, rows, cap):
     k buckets appears k times, exactly like the self-join it replaced
     (ngram_shared_pairs counts that multiplicity as n_common; LSH
     callers collapse it with distinct()); cap drops whole buckets by
-    DISTINCT member count."""
+    ROW count BEFORE collection (the memory guard — distinct members
+    are always <= rows, so surviving buckets collect <= cap items)."""
     df = spark.createDataFrame(
         [(d, b) for d, b in rows], "doc_id long, bucket long"
     ).repartition(5)
@@ -128,12 +129,14 @@ def test_bucket_pairs_property(spark, rows, cap):
         for r in textops.bucket_pairs(df, ["bucket"], cap=cap).collect()
     )
     members: dict[int, set[int]] = {}
+    n_rows: dict[int, int] = {}
     for d, b in rows:
         members.setdefault(b, set()).add(d)
+        n_rows[b] = n_rows.get(b, 0) + 1
     expect = sorted(
         (a, b)
-        for ids in members.values()
-        if 2 <= len(ids) <= cap
+        for bkt, ids in members.items()
+        if len(ids) >= 2 and n_rows[bkt] <= cap
         for a in ids for b in ids if a < b
     )
     assert got == expect  # multiset equality: sorted lists, dupes count

@@ -73,8 +73,15 @@ def test_named_agent_group_precedence(spark):
         "User-agent: *\nDisallow: /star/\n"
     )
     txt_star_only = "User-agent: *\nDisallow: /star/\n"
+    # an EMPTY named group (bare 'Disallow:' = allow all) must still
+    # shadow the '*' group — the named agent gets free rein
+    txt_empty_named = (
+        "User-agent: ycrawl\nDisallow:\n\n"
+        "User-agent: *\nDisallow: /star/\n"
+    )
     df = spark.createDataFrame(
-        [("both.example.com", txt_both), ("star.example.com", txt_star_only)],
+        [("both.example.com", txt_both), ("star.example.com", txt_star_only),
+         ("empty.example.com", txt_empty_named)],
         schema=robots.ROBOTS_SCHEMA,
     )
     rules = robots.parse_robots(df, user_agent="ycrawl")
@@ -82,10 +89,12 @@ def test_named_agent_group_precedence(spark):
     assert got == {
         ("both.example.com", "/named/"),   # named group only — no /star/
         ("star.example.com", "/star/"),    # * group applies when no named
+        # empty.example.com: no rules at all — empty named group shadows *
     }
     # stdlib oracle agrees on every (host, path) verdict
     for host, txt in (("both.example.com", txt_both),
-                      ("star.example.com", txt_star_only)):
+                      ("star.example.com", txt_star_only),
+                      ("empty.example.com", txt_empty_named)):
         p = urllib.robotparser.RobotFileParser()
         p.parse(txt.splitlines())
         for path in ("/named/x", "/star/x", "/ok"):

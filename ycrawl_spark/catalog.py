@@ -224,11 +224,21 @@ class Table:
             meta["spec"] = [list(t) for t in cur_spec]
         writer.parquet(data_dir)
         with self._manifest_lock():
+            # CAS guard: the rewrite is valid only if every base
+            # snapshot is STILL live at commit time. A concurrent
+            # replace()/rollback()/compact() that removed one means the
+            # rewritten data would RESURRECT rows (or double them, for
+            # a racing compact whose commit landed first) — abort and
+            # let the caller retry against the new manifest, exactly
+            # Iceberg's rewrite-conflict behavior.
+            current = self.snapshots()
+            if not base_ids <= {s.snapshot_id for s in current}:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                return None
             # merge-on-commit (the Iceberg rewrite retry analog): carry
-            # forward any snapshot appended since the base read — the
+            # forward any snapshot APPENDED since the base read — the
             # rewrite replaces exactly the base set, never newer data.
-            tail = [s for s in self.snapshots()
-                    if s.snapshot_id not in base_ids]
+            tail = [s for s in current if s.snapshot_id not in base_ids]
             merged = [
                 Snapshot(snapshot_id=snap_id, sequence=0,
                          epoch=max(epochs) if epochs else None,
@@ -305,7 +315,11 @@ class Table:
         pred = F.lit(True)
         for t in spec:
             if t[0] == "identity" and t[1] in eq:
-                pred &= F.col(f"_p_id_{t[1]}") == str(eq[t[1]])
+                # render the literal through the SAME Spark string cast
+                # the writer used — Python str(v) diverges for bools
+                # ('True' vs 'true'), floats, dates
+                pred &= F.col(f"_p_id_{t[1]}") == F.lit(
+                    eq[t[1]]).cast("string")
             elif t[0] == "days":
                 c = t[1]
                 if c in eq:
@@ -319,7 +333,7 @@ class Table:
             elif t[0] == "bucket" and t[2] in eq:
                 n, c = int(t[1]), t[2]
                 pred &= F.col(f"_p_bucket{n}_{c}") == F.pmod(
-                    F.xxhash64(F.lit(str(eq[c]))), F.lit(n))
+                    F.xxhash64(F.lit(eq[c]).cast("string")), F.lit(n))
         return pred
 
     def scan(self, spark: SparkSession, eq: dict | None = None,

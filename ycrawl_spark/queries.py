@@ -1641,6 +1641,27 @@ def stream_seen_first_event(spark, sf_dir):
         )
     )
     ev.write.parquet(src)
+    # The min(event_id) identity needs the sorted file to arrive as ONE
+    # map partition: parquet is splittable, so a file larger than
+    # maxPartitionBytes would interleave rows per state bucket in map-
+    # completion order and 'first arrival' would no longer be the
+    # minimum. Guard the protocol instead of failing mysteriously.
+    raw = str(spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b")).lower()
+    try:
+        max_bytes = int(raw.rstrip("b"))
+    except ValueError:  # e.g. '128mb' spelling
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        max_bytes = int(float(raw.rstrip("kmgb"))
+                        * units.get(raw.rstrip("b")[-1:], 1))
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet"))
+    if total > max_bytes:
+        raise ValueError(
+            f"stream_seen_first_event: sorted events file ({total}B) "
+            f"exceeds maxPartitionBytes ({max_bytes}B) — the single-"
+            "split ordering assumption breaks at this scale")
     stream = streaming.stream_source(spark, src, streaming.FETCH_LOG_SCHEMA)
     deduped = streaming.stateful_seen_filter(stream, n_buckets=8)
     name = streaming.run_available_now(
@@ -3161,10 +3182,13 @@ _ASPECT_BUCKETS = [  # (name, num, den) — the SD-style training ladder
 ]
 
 
-def _aspect_case(engine: str) -> str:
-    """Integer-exact nearest-aspect-bucket argmin, identical SQL for
-    Spark and DuckDB: minimize |w·den − h·num| (cross-multiplied, no
-    float ratios), ties broken by ladder order via strict '<' scans."""
+def _aspect_case() -> str:
+    """Integer-exact nearest-aspect-bucket argmin, one SQL string both
+    engines parse identically: minimize |w·den − h·num|
+    (cross-multiplied, no float ratios). Ties break by LADDER order:
+    each bucket's CASE arm uses non-strict <= against all others, and
+    the reversed nesting means the earliest ladder entry whose arm
+    holds wins."""
     best = "NULL"
     for name, n, d in reversed(_ASPECT_BUCKETS):
         cond = " AND ".join(
@@ -3185,7 +3209,7 @@ def _aspect_case(engine: str) -> str:
       FROM documents)
     SELECT bucket, COUNT(*) AS n_images,
            MIN(w * 10000 // h) AS min_ar4, MAX(w * 10000 // h) AS max_ar4
-    FROM (SELECT image_id, w, h, {_aspect_case('duck')} AS bucket FROM dims)
+    FROM (SELECT image_id, w, h, {_aspect_case()} AS bucket FROM dims)
     GROUP BY 1
     """,
 )
@@ -3204,7 +3228,7 @@ def aspect_bucket_assign(spark, sf_dir):
         "150 + (doc_id * 53) % 500 AS h",
     )
     bucketed = dims.selectExpr(
-        "image_id", "w", "h", f"{_aspect_case('spark')} AS bucket")
+        "image_id", "w", "h", f"{_aspect_case()} AS bucket")
     return (
         bucketed.groupBy("bucket")
         .agg(

@@ -50,26 +50,25 @@ def parse_robots(robots: DataFrame, user_agent: str = "*") -> DataFrame:
         W.unboundedPreceding, W.currentRow
     )
     scoped = lines.withColumn("cur_ua", F.last(ua, ignorenulls=True).over(w))
-    rules = (
-        scoped.filter(F.lower("line").startswith("disallow:"))
-        .filter(F.col("cur_ua").isin(user_agent, "*"))
-        .select("host", "cur_ua",
-                F.trim(F.expr("substring(line, 10)")).alias("prefix"))
-        .filter(F.col("prefix") != "")
-    )
     # robots.txt group precedence (and the urllib.robotparser oracle):
     # a named agent obeys ONLY its most specific matching group — when a
-    # host defines a group for ``user_agent``, its ``*`` rules must NOT
-    # also apply (union semantics over-block). Per-host max-flag window;
-    # for user_agent="*" every row is the specific group and this is a
-    # no-op.
+    # host DECLARES a group for ``user_agent`` (even one whose only rule
+    # is the empty allow-all ``Disallow:``), its ``*`` rules must NOT
+    # also apply. The flag therefore comes from the group DECLARATIONS
+    # in the scoped lines, not from the surviving non-empty rules — an
+    # empty named group must still shadow ``*``. Per-host max-flag
+    # window; for user_agent="*" every row is the specific group and
+    # this is a no-op.
     spec = F.max(
         F.when(F.col("cur_ua") == user_agent, 1).otherwise(0)
     ).over(W.partitionBy("host"))
     return (
-        rules.withColumn("_spec", spec)
-        .filter((F.col("cur_ua") == user_agent) | (F.col("_spec") == 0))
-        .select("host", "prefix")
+        scoped.withColumn("_spec", spec)
+        .filter(F.lower("line").startswith("disallow:"))
+        .filter((F.col("cur_ua") == user_agent)
+                | ((F.col("cur_ua") == "*") & (F.col("_spec") == 0)))
+        .select("host", F.trim(F.expr("substring(line, 10)")).alias("prefix"))
+        .filter(F.col("prefix") != "")
         .distinct()
     )
 

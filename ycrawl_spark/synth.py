@@ -286,7 +286,10 @@ def video_scene_plan(v: int, n_scenes: int = 3) -> list[str]:
     if v % 4 == 1 and v > 0:
         scenes[0] = f"scene:{v - 1}:0"
     plan = []
-    for rep, sid in zip((3, 2, 1), scenes):
+    # run lengths n_scenes..1 — every scene appears (n_scenes=3 gives
+    # the original 3,2,1 layout; larger ladders scale instead of
+    # silently truncating)
+    for rep, sid in zip(range(n_scenes, 0, -1), scenes):
         plan += [sid] * rep
     return plan
 

@@ -314,14 +314,19 @@ def bucket_pairs(df: DataFrame, key_cols: list[str], id_col: str = "doc_id",
     the minhash bench — while this shape scans the sketch ONCE and
     shuffles once, on the bucket key. The per-bucket pair expansion is
     in-row (posexplode + slice), so a bucket of m members emits
-    m(m−1)/2 pairs without any join; ``cap`` bounds m (same df-cap
-    semantics as ``cap_hot_buckets``, here a free filter on the
-    collected size — report drops via ``cap_drop_stats``). Memory per
-    task is O(cap) per carried row, never O(cap²).
+    m(m−1)/2 pairs without any join; ``cap`` bounds the bucket's ROW
+    count BEFORE anything is collected (``cap_hot_buckets`` — a window
+    count over the same key, so the hot bucket is dropped without ever
+    materializing its member array; report drops via
+    ``cap_drop_stats``). Distinct members ≤ rows, so every surviving
+    bucket collects ≤ cap items and memory per task is O(cap), never
+    the hot bucket's full population.
 
     ``payload_cols`` ride along per id (e.g. the sketch for exact
     re-verification) and come back as ``<col>_a`` / ``<col>_b``.
     """
+    if cap is not None:
+        df = cap_hot_buckets(df, list(key_cols), cap)
     item = F.struct(
         F.col(id_col).alias("_id"),
         *[F.col(c).alias(c) for c in payload_cols],
@@ -331,8 +336,6 @@ def bucket_pairs(df: DataFrame, key_cols: list[str], id_col: str = "doc_id",
         .agg(F.sort_array(F.collect_set(item)).alias("_items"))
         .filter(F.size("_items") >= 2)
     )
-    if cap is not None:
-        agg = agg.filter(F.size("_items") <= cap)
     pairs = (
         agg.select(F.posexplode("_items").alias("_i", "_a"), "_items")
         .select(
@@ -489,7 +492,12 @@ def minhash_md5_jaccard_audit(df: DataFrame, n_perm: int = 16,
     pair side is the small one and the joins co-partition on doc id.
     """
     rows_per_band = n_perm // bands
-    sigs = minhash_md5_signatures(df, n_perm, k, text_col)
+    # Three consumers read the signature frame (pair generation + the
+    # a/b payload joins); localCheckpoint materializes the expensive
+    # sketch ONCE instead of re-deriving the tokenize+shingle+16×md5
+    # subtree per branch — the same lineage-cut pattern graph.py uses.
+    sigs = minhash_md5_signatures(df, n_perm, k, text_col).localCheckpoint(
+        eager=False)
     band_cols = [
         F.md5(
             F.concat_ws(",", *[
