@@ -294,3 +294,12 @@ def test_aspect_bucket_single_scan_partial_agg(spark):
     assert "Join" not in plan
     pre_exchange = plan.split("Exchange hashpartitioning")[0]
     assert "HashAggregate" in pre_exchange
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The interval join runs as an equi-join on the day bucket with a
+    post-filter — never the nested-loop theta join a bare BETWEEN
+    condition produces."""
+    plan = plan_of(spark, "range_join_windows")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -3454,6 +3454,59 @@ def contrastive_negatives(spark, sf_dir):
     )
 
 
+@query(
+    "range_join_windows",
+    """
+    WITH w AS (
+      SELECT i AS wid,
+             TIMESTAMP '2024-01-01' + INTERVAL (i*17 % 28) DAY
+               + INTERVAL (i*7 % 24) HOUR AS lo,
+             TIMESTAMP '2024-01-01' + INTERVAL (i*17 % 28) DAY
+               + INTERVAL (i*7 % 24) HOUR
+               + INTERVAL (6 + i % 48) HOUR AS hi
+      FROM range(40) t(i))
+    SELECT w.wid, COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+    GROUP BY 1
+    """,
+)
+def range_join_windows(spark, sf_dir):
+    """Range/interval join — the operator Spark has no native form of
+    (events assigned to overlapping time windows), done the SCALABLE
+    way: each interval explodes to the day buckets it covers, events
+    carry their day, the join is a plain EQUI-join on the bucket, and
+    the exact ts-in-[lo,hi) predicate refines afterwards — never the
+    O(n·m) theta-join a naive BETWEEN condition triggers
+    (BroadcastNestedLoopJoin absence pinned in tests/test_plans.py).
+    40 deterministic overlapping windows over the events span; the
+    oracle is the direct BETWEEN join."""
+    win = spark.range(40).selectExpr(
+        "id AS wid",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0,"
+        " CAST(id*17 % 28 AS INT), CAST(id*7 % 24 AS INT), 0, 0) AS lo",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0,"
+        " CAST(id*17 % 28 AS INT),"
+        " CAST(id*7 % 24 AS INT) + CAST(6 + id % 48 AS INT), 0, 0) AS hi",
+    )
+    win_days = win.select(
+        "wid", "lo", "hi",
+        F.explode(F.expr(
+            "sequence(to_date(lo), to_date(hi), interval 1 day)"
+        )).alias("day"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", F.to_date("ts").alias("day"))
+    joined = (
+        ev.join(F.broadcast(win_days), "day")
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+    )
+    return joined.groupBy("wid").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def _ascii_fold7(expr: str) -> str:
     """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
     arithmetic — the only integer-from-md5 construction both engines
@@ -3697,7 +3750,7 @@ DRIVER_WINDOW: list[str] = [
     "ntile_price_quartiles",
     "custkey_intersect_except",
     "top_tokens_global",
-    "jsonl_source_roundtrip",
+    "range_join_windows",        # r03: bucketed interval join
     "csv_source_roundtrip",
     "sliding_chunks_rag",
     "dataset_split_assign",
