@@ -3507,6 +3507,97 @@ def range_join_windows(spark, sf_dir):
     )
 
 
+@query(
+    "snapshot_diff",
+    """
+    WITH v1 AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 50 <> 7),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 45 = 3
+                  THEN text || ' edited' ELSE text END AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 7000000, text FROM documents WHERE doc_id % 60 = 0)
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM (SELECT doc_id, md5(text) AS fp FROM v1) a
+    FULL OUTER JOIN (SELECT doc_id, md5(text) AS fp FROM v2) b
+      ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Table-version reconciliation: diff two corpus snapshots by key +
+    content hash and emit added / removed / changed rows only (the
+    anti-entropy sweep replica pipelines run; unchanged rows — the
+    overwhelming mass at 100 TB — never leave the join). Planted delta:
+    every 45th doc edited, the 50th%%7 slice removed, every 60th
+    re-added under a new id. One co-partitioned full-outer join on the
+    key; content compare is md5, never the text itself."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v1 = docs.filter("doc_id % 50 != 7")
+    v2 = docs.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 45 = 3 THEN concat(text, ' edited') "
+        "ELSE text END AS text",
+    ).unionByName(docs.filter("doc_id % 60 = 0").selectExpr(
+        "doc_id + 7000000 AS doc_id", "text"))
+    a = v1.select("doc_id", F.md5("text").alias("fp_a"))
+    b = v2.select("doc_id", F.md5("text").alias("fp_b"))
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .filter(
+            F.col("fp_a").isNull() | F.col("fp_b").isNull()
+            | (F.col("fp_a") != F.col("fp_b"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("fp_a").isNull(), "added")
+            .when(F.col("fp_b").isNull(), "removed")
+            .otherwise("changed").alias("status"),
+        )
+    )
+
+
+def _pair_degree_oracle() -> str:
+    pairs = _minhash_md5_oracle()
+    return f"""
+    WITH p AS ({pairs}),
+    deg AS (
+      SELECT doc, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc FROM p UNION ALL SELECT doc_b FROM p)
+      GROUP BY 1)
+    SELECT degree, COUNT(*) AS n_docs,
+           MIN(doc) AS min_doc, MAX(doc) AS max_doc
+    FROM deg GROUP BY 1
+    """
+
+
+@query("pair_degree_profile", _pair_degree_oracle())
+def pair_degree_profile(spark, sf_dir):
+    """Dedup-graph QC: the degree distribution of the candidate-pair
+    graph (how many near-dup partners each doc has) — the diagnostic
+    that sizes bucket caps and flags template farms (a degree spike =
+    one boilerplate cluster about to go quadratic). Derived from the
+    oracle-exact md5 MinHash pairs; one narrow union + two
+    map-side-combined counts."""
+    pairs = textops.minhash_md5_lsh_candidates(
+        load(spark, sf_dir, "documents"), n_perm=16, bands=4, k=4)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .groupBy("doc").agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc").alias("min_doc"),
+        F.max("doc").alias("max_doc"),
+    )
+
+
 def _ascii_fold7(expr: str) -> str:
     """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
     arithmetic — the only integer-from-md5 construction both engines
