@@ -3598,6 +3598,51 @@ def pair_degree_profile(spark, sf_dir):
     )
 
 
+@query(
+    "key_skew_profile",
+    """
+    WITH c AS (SELECT o_custkey AS key, COUNT(*) AS n
+               FROM orders GROUP BY 1),
+    s AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(MAX(n) AS BIGINT) AS max_n,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys
+          FROM c),
+    top AS (SELECT key, CAST(n AS BIGINT) AS n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rk
+            FROM c)
+    SELECT t.rk, t.key, t.n, s.total, s.n_keys,
+           CAST(t.n * s.n_keys AS BIGINT) AS skew_num
+    FROM top t, s WHERE t.rk <= 10
+    """,
+)
+def key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic — the measurement that DECIDES whether
+    a key needs salting before the shuffle (scheduler.py salts hot
+    hosts; this is the generic pre-join audit): top-10 hottest keys
+    with exact integer skew numerators (n·n_keys over total = the
+    hot-key-to-mean ratio as a rational, no float division to diverge).
+    One map-side-combined count + a top-k — never a global sort of the
+    key histogram."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n"))
+    s = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("max_n"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    # distributed top-k (TakeOrderedAndProject), then rank the 10
+    # survivors — a row_number window straight over the histogram
+    # would single-partition-sort all n_keys rows
+    top10 = c.orderBy(F.desc("n"), F.asc("key")).limit(10)
+    top = top10.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("key"))))
+    return top.crossJoin(F.broadcast(s)).select(
+        "rk", "key", F.col("n").cast("long").alias("n"), "total", "n_keys",
+        (F.col("n") * F.col("n_keys")).cast("long").alias("skew_num"),
+    )
+
+
 def _ascii_fold7(expr: str) -> str:
     """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
     arithmetic — the only integer-from-md5 construction both engines
