@@ -3643,6 +3643,100 @@ def key_skew_profile(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_cluster_size_hist",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))) AS sh
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    labels AS (SELECT node, LEAST(node, MIN(r)) AS c FROM reach GROUP BY node),
+    sizes AS (SELECT c, COUNT(*) AS cluster_size FROM labels GROUP BY c)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_cluster_size_hist(spark, sf_dir):
+    """Corpus-health histogram of near-dup CLUSTER sizes (how much of
+    the corpus sits in 2-doc mirror pairs vs 50-doc template farms —
+    the number that says whether dedup will shave 3% or 30%). Candidate
+    pairs → connected components → per-component size → size histogram;
+    oracle = the recursive-CTE closure's group sizes."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = textops.ngram_shared_pairs(docs, k=4, min_common=2)
+    comp = graph.connected_components(pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")))
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+
+
+@query(
+    "quality_gate_funnel",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','data','row','key'))) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_dist
+      FROM documents)
+    SELECT 'g0_all' AS gate, COUNT(*) AS n_pass FROM f
+    UNION ALL
+    SELECT 'g1_min_tokens', COUNT(*) FROM f WHERE n_tok >= 6
+    UNION ALL
+    SELECT 'g2_stopword_ratio', COUNT(*) FROM f
+    WHERE n_tok >= 6 AND n_stop * 2 <= n_tok
+    UNION ALL
+    SELECT 'g3_lexical_diversity', COUNT(*) FROM f
+    WHERE n_tok >= 6 AND n_stop * 2 <= n_tok AND n_dist * 10 >= n_tok * 3
+    """,
+)
+def quality_gate_funnel(spark, sf_dir):
+    """Prep-pipeline attrition report: how many documents survive each
+    successive quality gate (min length → stopword density → lexical
+    diversity) — the funnel every corpus-prep run prints before
+    training. All gates are integer cross-multiplied ratios (n_stop·2
+    ≤ n_tok is stop_ratio ≤ 0.5 with no float), derived in-row from
+    ONE scan; the four counts are conditional aggregates of that scan,
+    not four passes."""
+    docs = load(spark, sf_dir, "documents")
+    f = docs.selectExpr(
+        "size(split(text, ' ')) AS n_tok",
+        "size(filter(split(text, ' '),"
+        " t -> t IN ('the','a','data','row','key'))) AS n_stop",
+        "size(array_distinct(split(text, ' '))) AS n_dist",
+    )
+    g1 = F.col("n_tok") >= 6
+    g2 = g1 & (F.col("n_stop") * 2 <= F.col("n_tok"))
+    g3 = g2 & (F.col("n_dist") * 10 >= F.col("n_tok") * 3)
+    agg = f.agg(
+        F.count("*").alias("g0"),
+        F.sum(g1.cast("long")).alias("g1"),
+        F.sum(g2.cast("long")).alias("g2"),
+        F.sum(g3.cast("long")).alias("g3"),
+    )
+    return agg.selectExpr(
+        "stack(4, 'g0_all', g0, 'g1_min_tokens', g1,"
+        " 'g2_stopword_ratio', g2, 'g3_lexical_diversity', g3)"
+        " AS (gate, n_pass)"
+    )
+
+
 def _ascii_fold7(expr: str) -> str:
     """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
     arithmetic — the only integer-from-md5 construction both engines
