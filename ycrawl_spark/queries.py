@@ -3861,6 +3861,61 @@ def ivf_md5_ann_topk(spark, sf_dir):
         load(spark, sf_dir, "embeddings"), n_queries=3, k=10)
 
 
+@query(
+    "pq_md5_ann_topk",
+    """
+    WITH x AS (SELECT vec_id, i - 1 AS dim, len(embedding) AS dlen,
+                      CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+               FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    bk AS (SELECT vec_id AS code FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+    books AS (SELECT bk.code, x.dim, x.v6 AS c6
+              FROM x JOIN bk ON x.vec_id = bk.code),
+    enc AS (SELECT x.vec_id, CAST((x.dim * 4) // x.dlen AS INT) AS sub,
+                   b.code, SUM((x.v6 - b.c6) * (x.v6 - b.c6)) AS d2
+            FROM x JOIN books b ON x.dim = b.dim
+            GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id AS neighbor_id, sub, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                          ORDER BY d2 ASC, code ASC) AS rk FROM enc)
+              WHERE rk = 1),
+    qtab AS (SELECT vec_id AS query_id, sub, code, d2 AS qd2
+             FROM enc WHERE vec_id < 3),
+    adc AS (SELECT q.query_id, c.neighbor_id, SUM(q.qd2) AS adc_d2
+            FROM codes c JOIN qtab q ON c.sub = q.sub AND c.code = q.code
+            WHERE c.neighbor_id <> q.query_id
+            GROUP BY 1, 2),
+    short AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk FROM adc)
+              WHERE rk <= 40),
+    dist AS (SELECT s.query_id, s.neighbor_id,
+                    CAST(SUM((q.v6 - n.v6) * (q.v6 - n.v6)) AS BIGINT) AS d2q
+             FROM short s
+             JOIN x q ON q.vec_id = s.query_id
+             JOIN x n ON n.vec_id = s.neighbor_id AND n.dim = q.dim
+             GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, rank, d2q FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY d2q ASC, neighbor_id ASC) AS INT) AS rank
+      FROM dist) WHERE rank <= 10
+    """,
+)
+def pq_md5_ann_topk(spark, sf_dir):
+    """Driver-verifiable product-quantization ANN (VERDICT r03 #4):
+    the PQ twin of ivf_md5_ann_topk — md5-hash-min codebooks, exact
+    integer nearest-codeword encoding, ADC shortlist computed from
+    codes + a query×subspace×code distance table, exact re-rank of
+    the shortlist (vectors.pq_exact_topk). The oracle reproduces the
+    codebook, every code assignment, the asymmetric-distance scores,
+    and the final top-10 value-for-value — closing the last
+    pytest-only ANN family (pq_ann_topk's k-means books can't be
+    SQL-reproduced; this pins the same index semantics)."""
+    return vectors.pq_exact_topk(
+        load(spark, sf_dir, "embeddings"), n_queries=3, k=10,
+        m_sub=4, k_codes=8, rerank_factor=4)
+
+
 @query("crossmodal_dup_audit", _crossmodal_oracle())
 def crossmodal_dup_audit(spark, sf_dir):
     """Joint-modality dedup audit (VERDICT r02 #7): image/caption pairs
@@ -3950,23 +4005,24 @@ def crossmodal_dup_audit(spark, sf_dir):
 # invariants (exactly 50 names, all registered, all oracle-backed).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: list[str] = [
-    "training_data_prep",        # r02's one red row — oracle dtype fixed, re-gate
-    "distinct_users_daily",
-    "asof_last_click",
-    "cosine_topk",
-    "cosine_dup_pairs",
-    "embedding_label_norms",
-    "stream_windowed_counts",
-    "retry_threshold_gate",
-    "coalesce_error_frames",
-    "quarantine_errors",
-    "qr_cross_stride_urls",
-    "calendar_min_marker",
-    "trend_selected_vs_alt",
-    "scan_files_accounting",
+    # r04 rotation (VERDICT r03 item #1): the 13 oracle-backed late-r03 adds
+    # that were never driver-gated take the slots of 13 stably-green r03 rows.
+    "key_skew_profile",
+    "snapshot_diff",
+    "pair_degree_profile",
+    "dedup_cluster_size_hist",
+    "quality_gate_funnel",
+    "aspect_bucket_assign",
+    "contrastive_negatives",
+    "corpus_drift_tvd",
+    "cube_order_counts",
+    "incremental_components",
+    "jsonl_source_roundtrip",
+    "normalized_dedup_groups",
+    "export_shard_assignment",
     "fx_snapshot_fallback",
     "symmetric_date_window",
-    "stream_seen_first_event",   # r03: oracle-gated stateful streaming dedup
+    "stream_seen_first_event",   # r04: reformulated splittable-safe — re-gate
     "near_dup_components",
     "pack_sequence_chunks",
     "mixture_sampling",
@@ -3998,6 +4054,7 @@ DRIVER_WINDOW: list[str] = [
     "simhash_md5_near_dups",
     "crossmodal_dup_audit",      # r03: joint-modality dedup audit (VERDICT #7)
     "ivf_md5_ann_topk",          # r03: value-gated quantized ANN (VERDICT #8)
+    "pq_md5_ann_topk",           # r04: value-gated PQ/ADC ANN (VERDICT r03 #4)
     "minhash_jaccard_estimate",  # r03: sketch-vs-exact threshold audit
     "incremental_dedup_new_batch",  # r03: continuous-crawl dedup mode
 ]

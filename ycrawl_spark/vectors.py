@@ -719,3 +719,100 @@ def ivf_exact_topk(df: DataFrame, n_queries: int = 3, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "d2q")
     )
+
+
+def pq_exact_topk(df: DataFrame, n_queries: int = 3, k: int = 10,
+                  m_sub: int = 4, k_codes: int = 8, rerank_factor: int = 4,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """Oracle-checkable product-quantization twin of ``pq_ann_topk``
+    (the ivf_exact_topk pattern, round-3 VERDICT item #4): identical
+    index decisions — per-subspace codebooks, nearest-codeword
+    encoding, ADC shortlist from codes alone, exact re-rank of
+    survivors — but every step is deterministic and SQL-expressible:
+
+    * codebook = the subvectors of the ``k_codes`` rows minimizing
+      ``md5(vec_id)`` (hash-min sampling replaces k-means; both
+      engines share md5);
+    * components quantize to 1e-6 BIGINTs, all distances are exact
+      integer sums, every argmin/top-k tie breaks on (code, id);
+    * the ADC score is Σ_m ||q_m − codeword(code_m)||² computed from
+      a query×subspace×code distance table — the asymmetric-distance
+      identity itself, value-checked end to end.
+
+    Shape at scale: the codebook is k_codes·D rows (broadcast);
+    encoding expands n·D×k_codes and combines map-side to n·M code
+    rows; the ADC scan joins codes against a Q·M·K broadcast table
+    and the only shuffle after encoding is the per-query shortlist
+    window. The production path (``pq_ann_topk``) does the same plan
+    with matmul Arrow UDFs and k-means books; this twin pins the PQ
+    semantics under the driver's value gate."""
+    x = df.select(
+        id_col, F.posexplode(_as_double(emb_col)).alias("dim", "v")
+    ).select(
+        F.col(id_col).alias("vec_id"), "dim",
+        F.round(F.col("v") * 1_000_000).cast("long").alias("v6"),
+    )
+    dim_total = len(df.select(emb_col).first()[0])
+    if dim_total % m_sub != 0:
+        raise ValueError(f"dim {dim_total} not divisible by m_sub {m_sub}")
+    ds = dim_total // m_sub
+    sub = (F.col("dim") / ds).cast("int")
+    book_ids = (
+        df.select(F.col(id_col).alias("code"))
+        .orderBy(F.md5(F.col("code").cast("string")))
+        .limit(k_codes)
+    )
+    books = x.join(F.broadcast(book_ids), x.vec_id == book_ids.code).select(
+        "code", "dim", F.col("v6").alias("c6"))
+    # encode: per (vec_id, sub) the argmin codeword, ties on code asc
+    enc_d = (
+        x.join(F.broadcast(books), "dim")
+        .withColumn("sub", sub)
+        .withColumn("_dq", (F.col("v6") - F.col("c6")) * (F.col("v6") - F.col("c6")))
+        .groupBy("vec_id", "sub", "code")
+        .agg(F.sum("_dq").alias("d2"))
+    )
+    w_enc = W.partitionBy("vec_id", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        enc_d.withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "sub", "code")
+    )
+    # query ADC tables: exact distance query-subvector -> every codeword.
+    # enc_d already holds that distance for EVERY (vec, sub, code) — the
+    # query tables are the n_queries slice of the encoding pass, no
+    # second codebook join.
+    qtab = enc_d.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "sub", "code",
+        F.col("d2").alias("qd2"))
+    adc = (
+        codes.join(F.broadcast(qtab), ["sub", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    w_short = W.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("rk", F.row_number().over(w_short))
+        .filter(F.col("rk") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of shortlist survivors only
+    q = x.select(F.col("vec_id").alias("query_id"), "dim",
+                 F.col("v6").alias("q6")).filter(F.col("query_id") < n_queries)
+    dist = (
+        shortlist.join(q, "query_id")
+        .join(x.withColumnRenamed("vec_id", "neighbor_id")
+               .withColumnRenamed("v6", "n6"), ["neighbor_id", "dim"])
+        .withColumn("_dq", (F.col("q6") - F.col("n6")) * (F.col("q6") - F.col("n6")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_dq").cast("long").alias("d2q"))
+    )
+    w_k = W.partitionBy("query_id").orderBy(F.asc("d2q"), F.asc("neighbor_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "d2q")
+    )
