@@ -78,6 +78,67 @@ def test_cc_empty(spark):
     assert graph.connected_components(df).count() == 0
 
 
+def _brute_agreement(rows, key_idx, other_idx, kind):
+    """All-pairs reference for label_agreement_report: enumerate every
+    within-cluster pair and count the partner-label disagreements."""
+    from collections import defaultdict
+
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r[key_idx]].append(r[other_idx])
+    out = {}
+    for comp, partners in clusters.items():
+        n = len(partners)
+        labels = len(set(partners))
+        mism = sum(
+            1
+            for i in range(n)
+            for j in range(i + 1, n)
+            if partners[i] != partners[j]
+        )
+        if labels > 1:
+            out[(kind, comp)] = (n, labels, mism)
+    return out
+
+
+def test_label_agreement_matches_bruteforce(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(12), rng.randrange(9)) for i in range(300)
+    ]
+    lab = spark.createDataFrame(rows, "node long, img_c long, txt_c long")
+    got = {
+        (r["kind"], r["component"]): (
+            r["n_members"], r["n_partner_labels"], r["n_mismatch_pairs"])
+        for r in graph.label_agreement_report(
+            lab, "img_c", "txt_c", "k").collect()
+    }
+    assert got == _brute_agreement(rows, 1, 2, "k")
+    # swapped orientation too
+    got_t = {
+        (r["kind"], r["component"]): (
+            r["n_members"], r["n_partner_labels"], r["n_mismatch_pairs"])
+        for r in graph.label_agreement_report(
+            lab, "txt_c", "img_c", "t").collect()
+    }
+    assert got_t == _brute_agreement(rows, 2, 1, "t")
+
+
+def test_label_agreement_plan_is_linear(spark):
+    # The round-3 verdict's quadratic residue: co-cluster comparison
+    # must never materialize within-component pairs. The report is two
+    # hash aggregates over the label frame — pin that its plan has no
+    # join, no explode/posexplode, no collect_set expansion.
+    lab = spark.createDataFrame(
+        [(i, i % 3, i % 2) for i in range(10)],
+        "node long, img_c long, txt_c long")
+    plan = graph.label_agreement_report(
+        lab, "img_c", "txt_c", "k")._jdf.queryExecution().optimizedPlan().toString()
+    low = plan.lower()
+    for bad in ("join", "explode", "collect_set", "cartesian"):
+        assert bad not in low, f"quadratic-shaped node {bad!r} in plan:\n{plan}"
+
+
 def test_dedup_keep_representatives(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"

@@ -3802,18 +3802,37 @@ def _crossmodal_oracle() -> str:
       FROM txt_reach JOIN txt_edges ON txt_reach.r = txt_edges.a),
     txt_lab AS (SELECT node, LEAST(node, MIN(r)) AS c
                 FROM txt_reach GROUP BY node),
-    txt_co AS (SELECT la.node AS doc_a, lb.node AS doc_b
-               FROM txt_lab la JOIN txt_lab lb
-               ON la.c = lb.c AND la.node < lb.node)
-    SELECT doc_a, doc_b, 'image_dup_caption_mismatch' AS kind
-    FROM img_co i
-    WHERE NOT EXISTS (SELECT 1 FROM txt_co t
-                      WHERE t.doc_a = i.doc_a AND t.doc_b = i.doc_b)
+    ns AS (SELECT DISTINCT node FROM (
+             SELECT node FROM img_lab UNION ALL SELECT node FROM txt_lab)),
+    lab AS (SELECT ns.node,
+                   COALESCE(il.c, ns.node) AS img_c,
+                   COALESCE(tl.c, ns.node) AS txt_c
+            FROM ns
+            LEFT JOIN img_lab il ON il.node = ns.node
+            LEFT JOIN txt_lab tl ON tl.node = ns.node),
+    gi AS (SELECT img_c AS component, txt_c AS partner, COUNT(*) AS m
+           FROM lab GROUP BY 1, 2),
+    ri AS (SELECT component, CAST(SUM(m) AS BIGINT) AS n_members,
+                  CAST(COUNT(*) AS BIGINT) AS n_partner_labels,
+                  CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS _same
+           FROM gi GROUP BY 1),
+    gt AS (SELECT txt_c AS component, img_c AS partner, COUNT(*) AS m
+           FROM lab GROUP BY 1, 2),
+    rt AS (SELECT component, CAST(SUM(m) AS BIGINT) AS n_members,
+                  CAST(COUNT(*) AS BIGINT) AS n_partner_labels,
+                  CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS _same
+           FROM gt GROUP BY 1)
+    SELECT 'image_dup_caption_mismatch' AS kind, component, n_members,
+           n_partner_labels,
+           CAST(n_members * (n_members - 1) // 2 - _same AS BIGINT)
+             AS n_mismatch_pairs
+    FROM ri WHERE n_partner_labels > 1
     UNION ALL
-    SELECT doc_a, doc_b, 'caption_dup_image_mismatch' AS kind
-    FROM txt_co t
-    WHERE NOT EXISTS (SELECT 1 FROM img_co i
-                      WHERE i.doc_a = t.doc_a AND i.doc_b = t.doc_b)
+    SELECT 'caption_dup_image_mismatch' AS kind, component, n_members,
+           n_partner_labels,
+           CAST(n_members * (n_members - 1) // 2 - _same AS BIGINT)
+             AS n_mismatch_pairs
+    FROM rt WHERE n_partner_labels > 1
     """
 
 
@@ -3928,9 +3947,16 @@ def crossmodal_dup_audit(spark, sf_dir):
     image. Pipeline: 64-bit md5 image sketch → the text SimHash block-
     LSH pair engine (pigeonhole-complete at hamming ≤3) → connected
     components, in parallel with 4-shingle caption pairs → components;
-    the audit is the symmetric difference of the two co-cluster pair
-    sets. Oracle: all-pairs hamming + shared-shingle pairs + two
-    recursive-CTE closures + anti-joins — both cluster engines AND the
+    the audit compares the two labelings PER NODE (round-3 VERDICT
+    #2): each (node, img_component, txt_component) row feeds
+    graph.label_agreement_report, which flags every cluster whose
+    members straddle >1 partner cluster and reports the exact
+    disagreeing-pair count as C(n,2) − Σ C(m_g,2) — linear work, no
+    co-cluster pair materialization (the old formulation exploded
+    O(m²) pairs per component; a template-farm cluster made that
+    quadratic at corpus scale). Oracle: all-pairs hamming +
+    shared-shingle pairs + two recursive-CTE closures + the same
+    label-agreement aggregation — both cluster engines AND the
     composition are value-checked."""
     fold = _ascii_fold7("ik")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3976,17 +4002,22 @@ def crossmodal_dup_audit(spark, sf_dir):
             txt_pairs.select(F.col("doc_a").alias("src"),
                              F.col("doc_b").alias("dst")))
         img_comp, txt_comp = img_f.result(), txt_f.result()
-    img_co = textops.bucket_pairs(
-        img_comp, ["component"], id_col="node").select(
-        F.col("node_a").alias("doc_a"), F.col("node_b").alias("doc_b"))
-    txt_co = textops.bucket_pairs(
-        txt_comp, ["component"], id_col="node").select(
-        F.col("node_a").alias("doc_a"), F.col("node_b").alias("doc_b"))
-    img_only = img_co.join(txt_co, ["doc_a", "doc_b"], "left_anti").select(
-        "doc_a", "doc_b", F.lit("image_dup_caption_mismatch").alias("kind"))
-    txt_only = txt_co.join(img_co, ["doc_a", "doc_b"], "left_anti").select(
-        "doc_a", "doc_b", F.lit("caption_dup_image_mismatch").alias("kind"))
-    return img_only.unionByName(txt_only)
+    # Per-node label frame: full outer over the two component sets;
+    # a node absent from one side is a singleton there (label = own id).
+    lab = (
+        img_comp.select("node", F.col("component").alias("img_c"))
+        .join(txt_comp.select("node", F.col("component").alias("txt_c")),
+              ["node"], "full")
+        .select(
+            "node",
+            F.coalesce("img_c", F.col("node")).alias("img_c"),
+            F.coalesce("txt_c", F.col("node")).alias("txt_c"))
+    )
+    img_rep = graph.label_agreement_report(
+        lab, "img_c", "txt_c", "image_dup_caption_mismatch")
+    txt_rep = graph.label_agreement_report(
+        lab, "txt_c", "img_c", "caption_dup_image_mismatch")
+    return img_rep.unionByName(txt_rep)
 
 
 # ---------------------------------------------------------------------------
