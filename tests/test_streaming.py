@@ -109,6 +109,47 @@ def test_stateful_seen_filter_dedups_across_microbatches(spark, tmp_path):
     assert all(firsts[f"k{i}"] == 1 for i in range(5, 10))
 
 
+def test_stateful_first_by_rank_survives_tiny_splits(spark, tmp_path):
+    """Round-3 VERDICT #3 'done' criterion: the order-insensitive
+    first-by-rank operator must produce the exact per-key min-rank
+    winner even when every parquet file is shredded into many map
+    splits (artificially tiny maxPartitionBytes) — the regime where
+    the old arrival-order formulation broke."""
+    d = str(tmp_path / "fetch_log")
+    cols = "key string, canonical_host string, epoch int, attempt int, " \
+           "shuffle_rank long, status string, exetime double"
+    import random
+    rng = random.Random(11)
+    rows = [(f"k{rng.randrange(40)}", f"h{i % 3}", 1, 1, i,
+             f"s{i}", 1.0) for i in range(400)]
+    rng.shuffle(rows)
+    spark.createDataFrame(rows, cols).repartition(5).write.parquet(d)
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        stream = streaming.stream_source(spark, d, streaming.FETCH_LOG_SCHEMA,
+                                         per_trigger_files=2)
+        firsts = streaming.stateful_first_by_rank(stream, n_buckets=4)
+        name = streaming.run_available_now(firsts, str(tmp_path / "ckpt4"),
+                                           out_mode="append")
+        from pyspark.sql import Window as W
+        w = W.partitionBy("key").orderBy(F.asc("shuffle_rank"))
+        got = {
+            r["key"]: (r["shuffle_rank"], r["status"])
+            for r in spark.table(name)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    expect = {}
+    for k, _, _, _, rank, status, _ in rows:
+        if k not in expect or rank < expect[k][0]:
+            expect[k] = (rank, status)
+    assert got == expect
+
+
 def test_incremental_files_and_host_throughput(spark, events_dir, tmp_path):
     stream = streaming.stream_source(spark, events_dir, streaming.EVENTS_SCHEMA)
     by_type = (

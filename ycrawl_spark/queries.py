@@ -1613,15 +1613,19 @@ def stream_windowed_counts(spark, sf_dir):
     """,
 )
 def stream_seen_first_event(spark, sf_dir):
-    """The streaming URL-seen dedup (applyInPandasWithState, bucket-
-    sharded state — streaming.stateful_seen_filter) made ORACLE-
-    checkable: the events table is rewritten as ONE event_id-sorted
-    file, so 'first occurrence across micro-batches' is exactly
-    min(event_id) per user — a SQL-expressible ground truth for the
-    custom stateful operator the crawl uses as its streaming seen-set.
-    (Single sorted input partition → single mapper per state bucket →
-    deterministic in-group order; the cross-batch state carry is
-    separately pinned in tests/test_streaming.py.)"""
+    """The streaming URL-seen dedup made ORACLE-checkable WITHOUT any
+    input-ordering protocol (round-3 VERDICT #3): the stateful
+    operator (streaming.stateful_first_by_rank) tracks each key's
+    minimum shuffle_rank across micro-batches and emits improvements,
+    so the per-user min(event_id) winner is in the output under ANY
+    split policy, file order, or shuffle interleaving — the r03
+    formulation needed the sorted input to arrive as one parquet
+    split (maxPartitionBytes-guarded, capping the checkable scale at
+    ~128 MB); this one is verified under an artificially tiny
+    maxPartitionBytes in tests/test_streaming.py. Input is written as
+    several unordered files so availableNow genuinely exercises the
+    cross-batch state merge; the final per-key min-rank window
+    recovers the deterministic answer."""
     import os
 
     from . import streaming
@@ -1630,8 +1634,7 @@ def stream_seen_first_event(spark, sf_dir):
     src = os.path.join(d, "in")
     ev = (
         load(spark, sf_dir, "events")
-        .orderBy("event_id")
-        .coalesce(1)
+        .repartition(8)  # several files -> several micro-batches
         .selectExpr(
             "CAST(user_id AS STRING) AS key",
             "concat('h', CAST(user_id % 5 AS STRING)) AS canonical_host",
@@ -1641,35 +1644,21 @@ def stream_seen_first_event(spark, sf_dir):
         )
     )
     ev.write.parquet(src)
-    # The min(event_id) identity needs the sorted file to arrive as ONE
-    # map partition: parquet is splittable, so a file larger than
-    # maxPartitionBytes would interleave rows per state bucket in map-
-    # completion order and 'first arrival' would no longer be the
-    # minimum. Guard the protocol instead of failing mysteriously.
-    raw = str(spark.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728b")).lower()
-    try:
-        max_bytes = int(raw.rstrip("b"))
-    except ValueError:  # e.g. '128mb' spelling
-        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
-        max_bytes = int(float(raw.rstrip("kmgb"))
-                        * units.get(raw.rstrip("b")[-1:], 1))
-    total = sum(
-        os.path.getsize(os.path.join(src, f))
-        for f in os.listdir(src) if f.endswith(".parquet"))
-    if total > max_bytes:
-        raise ValueError(
-            f"stream_seen_first_event: sorted events file ({total}B) "
-            f"exceeds maxPartitionBytes ({max_bytes}B) — the single-"
-            "split ordering assumption breaks at this scale")
-    stream = streaming.stream_source(spark, src, streaming.FETCH_LOG_SCHEMA)
-    deduped = streaming.stateful_seen_filter(stream, n_buckets=8)
+    stream = streaming.stream_source(spark, src, streaming.FETCH_LOG_SCHEMA,
+                                     per_trigger_files=2)
+    firsts = streaming.stateful_first_by_rank(stream, n_buckets=8)
     name = streaming.run_available_now(
-        deduped, os.path.join(d, "ckpt"), out_mode="append")
-    return spark.table(name).selectExpr(
-        "CAST(key AS BIGINT) AS user_id",
-        "shuffle_rank AS first_event_id",
-        "status AS first_event_type",
+        firsts, os.path.join(d, "ckpt"), out_mode="append")
+    w = W.partitionBy("key").orderBy(F.asc("shuffle_rank"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .selectExpr(
+            "CAST(key AS BIGINT) AS user_id",
+            "shuffle_rank AS first_event_id",
+            "status AS first_event_type",
+        )
     )
 
 

@@ -139,6 +139,72 @@ def stateful_seen_filter(fetch_log: DataFrame, n_buckets: int = 32) -> DataFrame
     )
 
 
+SEEN_RANK_STATE_SCHEMA = "keys array<string>, ranks array<long>"
+
+
+def stateful_first_by_rank(fetch_log: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Streaming first-occurrence-by-PRIORITY seen-set: for every key,
+    emit the row with the minimum ``shuffle_rank`` seen so far, with
+    cross-micro-batch state carrying each key's best rank.
+
+    This is the arrival-order-INSENSITIVE reformulation of
+    ``stateful_seen_filter`` (round-3 VERDICT #3): that operator keeps
+    the first row in ARRIVAL order, which is only deterministic when
+    every state bucket's rows reach the operator in one monotone
+    stream — a protocol that caps the checkable input at one parquet
+    split (shuffle fetch order across mappers is not contractual, so
+    even per-bucket sorted files don't survive file splitting). Here
+    each micro-batch reduces to a per-key min by rank (a pandas
+    groupby — no order assumption), the state merge keeps the smaller
+    rank, and ONLY improvements are emitted; the global winner per key
+    is therefore present in the output under ANY split policy,
+    parallelism, or fetch interleaving, and a final per-key min-rank
+    selection recovers it deterministically. Strict inequality on the
+    merge keeps the earlier batch's row on rank ties.
+
+    State is bucket-sharded like ``stateful_seen_filter``: bounded
+    state-row count, fixed shuffle fan-in; per bucket the state is two
+    parallel arrays (keys, best ranks)."""
+    import pandas as pd
+
+    cols = ["key", "canonical_host", "epoch", "attempt",
+            "shuffle_rank", "status", "exetime"]
+
+    def upd(bucket_key, pdfs, state):
+        if state.exists:
+            ks, rs = state.get
+            best = dict(zip(ks, rs))
+        else:
+            best = {}
+        outs = []
+        for pdf in pdfs:
+            # order-insensitive per-batch reduction: min rank per key
+            # (rank first; remaining columns only break exact-rank ties)
+            m = (pdf.sort_values(["shuffle_rank", "status",
+                                  "canonical_host", "epoch", "attempt"])
+                 .groupby("key", as_index=False).first())
+            mask = [best.get(k) is None or r < best[k]
+                    for k, r in zip(m["key"], m["shuffle_rank"])]
+            improved = m[pd.Series(mask, index=m.index)]
+            for k, r in zip(improved["key"], improved["shuffle_rank"]):
+                best[k] = int(r)
+            outs.append(improved)
+        state.update((list(best.keys()), list(best.values())))
+        out = pd.concat(outs) if outs else pd.DataFrame(columns=cols)
+        yield out[cols]
+
+    bucketed = fetch_log.withColumn(
+        "bucket", F.pmod(F.xxhash64("key"), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        upd,
+        outputStructType=SEEN_OUT_SCHEMA,
+        stateStructType=SEEN_RANK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       out_mode: str = "append",
                       table_name: str | None = None) -> str:
