@@ -63,6 +63,91 @@ def test_parse_grammar_edges(spark):
         assert "/" not in prefixes  # the decoy group's rule never leaks
         assert "" not in prefixes
 
+def _stdlib_rules_agree(host, txt, got, paths=("/named/x", "/star/x",
+                                               "/stack/x", "/ok", "/a", "/b")):
+    p = urllib.robotparser.RobotFileParser()
+    p.parse(txt.splitlines())
+    for path in paths:
+        expect = p.can_fetch("ycrawl", f"https://{host}{path}")
+        blocked = any(h == host and path.startswith(pre) for h, pre in got)
+        assert (not blocked) == expect, (host, path)
+
+
+def test_declaration_only_group_does_not_shadow_star(spark):
+    """ADVICE r03 #1 shape A: a 'User-agent: ycrawl' header with NO
+    rule lines is discarded by robotparser (entries need >=1 ruleline),
+    so the '*' rules still apply to ycrawl. The old flag fired on ANY
+    line scoped to the agent and wrongly suppressed '*'."""
+    txt = (
+        "User-agent: ycrawl\n\n"
+        "User-agent: *\nDisallow: /star/\n"
+    )
+    df = spark.createDataFrame([("decl.example.com", txt)],
+                               schema=robots.ROBOTS_SCHEMA)
+    got = {(r["host"], r["prefix"])
+           for r in robots.parse_robots(df, user_agent="ycrawl").collect()}
+    assert got == {("decl.example.com", "/star/")}
+    _stdlib_rules_agree("decl.example.com", txt, got)
+
+
+def test_stacked_ua_headers_share_rule_block(spark):
+    """ADVICE r03 #1 shape B: 'User-agent: ycrawl\\nUser-agent: *' is
+    ONE entry whose rules bind both agents; robotparser files it as the
+    default entry (a '*' member makes it default-only), so ycrawl gets
+    its rules via the default path and nothing is shadowed."""
+    txt = (
+        "User-agent: ycrawl\nUser-agent: *\nDisallow: /stack/\n"
+    )
+    df = spark.createDataFrame([("stack.example.com", txt)],
+                               schema=robots.ROBOTS_SCHEMA)
+    got = {(r["host"], r["prefix"])
+           for r in robots.parse_robots(df, user_agent="ycrawl").collect()}
+    assert got == {("stack.example.com", "/stack/")}
+    _stdlib_rules_agree("stack.example.com", txt, got)
+    # ...and an agent NOT in the stack still gets the default rules
+    got_other = {(r["host"], r["prefix"])
+                 for r in robots.parse_robots(df, user_agent="zzz").collect()}
+    assert got_other == {("stack.example.com", "/stack/")}
+
+
+def test_first_matching_named_entry_wins(spark):
+    """robotparser selects the FIRST named entry matching the agent;
+    a second group naming the same agent is dead text."""
+    txt = (
+        "User-agent: ycrawl\nDisallow: /a\n\n"
+        "User-agent: ycrawl\nDisallow: /b\n\n"
+        "User-agent: *\nDisallow: /star/\n"
+    )
+    df = spark.createDataFrame([("dup.example.com", txt)],
+                               schema=robots.ROBOTS_SCHEMA)
+    got = {(r["host"], r["prefix"])
+           for r in robots.parse_robots(df, user_agent="ycrawl").collect()}
+    assert got == {("dup.example.com", "/a")}
+    _stdlib_rules_agree("dup.example.com", txt, got)
+
+
+def test_orphan_rules_and_blank_resets(spark):
+    """Rule lines separated from their UA stack by a blank line are
+    orphans (robotparser resets on blank); a UA stack reset by a blank
+    before any rules is discarded."""
+    txt = (
+        "Disallow: /orphan-at-start/\n\n"
+        "User-agent: ycrawl\nDisallow: /a\n\n"
+        "Disallow: /orphan-after-entry/\n\n"
+        "User-agent: reset-me\n\n"
+        "Disallow: /orphan-after-reset/\n"
+    )
+    df = spark.createDataFrame([("orphan.example.com", txt)],
+                               schema=robots.ROBOTS_SCHEMA)
+    got = {(r["host"], r["prefix"])
+           for r in robots.parse_robots(df, user_agent="ycrawl").collect()}
+    assert got == {("orphan.example.com", "/a")}
+    _stdlib_rules_agree("orphan.example.com", txt, got,
+                        paths=("/a", "/orphan-at-start/x",
+                               "/orphan-after-entry/x",
+                               "/orphan-after-reset/x", "/ok"))
+
+
 def test_named_agent_group_precedence(spark):
     """robots.txt group precedence: a host that defines BOTH a named
     group and ``*`` applies ONLY the named group to that agent (union

@@ -11,12 +11,18 @@ frontier gate is a pair of broadcast semi/anti joins, so gating 10^10
 URLs against 10^8 hosts' rules costs zero shuffles.
 
 Grammar covered (pinned against the stdlib ``urllib.robotparser``
-oracle in tests/test_robots.py): comments, blank lines, multiple
-User-agent groups with one agent per group (the common case — stacked
-UA lines sharing one rule block would need a group-id aggregation
-instead of last_value), Disallow prefix rules, and the empty
-``Disallow:`` (= allow all). Allow-line longest-match precedence is
-out of scope and absent from the fixtures.
+oracle in tests/test_robots.py): comments, blank lines, stacked
+User-agent headers sharing one rule block, declaration-only groups
+(dropped, exactly as robotparser drops entries with no rule lines),
+blank-line group resets, Disallow prefix rules, the empty
+``Disallow:`` (= allow all), and robotparser's entry-selection rule —
+the FIRST named entry matching the agent wins, else the first ``*``
+entry (a stacked header containing ``*`` is a default entry only,
+never a named one). Agent matching is exact-name (robotparser's
+substring loosening is out of scope); Allow-line longest-match
+precedence is likewise out of scope and absent from the fixtures —
+``Allow:`` lines count as rule lines for group retention but emit no
+prefixes.
 """
 
 from __future__ import annotations
@@ -28,13 +34,26 @@ ROBOTS_SCHEMA = "host string, robots_txt string"
 
 def parse_robots(robots: DataFrame, user_agent: str = "*") -> DataFrame:
     """(host, robots_txt) → (host, prefix) Disallow rules that apply to
-    ``user_agent``'s group (or the ``*`` group).
+    ``user_agent`` under urllib.robotparser's entry semantics.
 
-    All JVM-side: split → posexplode keeps line order, a running
-    last_value over (host, pos) scopes each rule line to its governing
-    User-agent, comments/blanks drop out, empty prefixes (allow-all)
-    drop out.
+    All JVM-side, a window-based replica of robotparser's line state
+    machine (ADVICE r03 #1 — the last_value scoping mis-attributed
+    stacked UA headers and let declaration-only groups shadow ``*``):
+
+    * entries = maximal runs of stacked ``User-agent`` lines plus the
+      rule lines that follow them with no blank line in between; blank
+      lines terminate entries (a pending UA stack with no rules is
+      discarded; rule lines after a blank are orphans and ignored);
+    * an entry with zero rule lines does not exist (robotparser drops
+      it), so it cannot shadow anything; the empty ``Disallow:`` IS a
+      rule line, so an empty named group still shadows ``*``;
+    * an entry whose agents include ``*`` is a DEFAULT entry only —
+      robotparser never enters it in the named list even when other
+      agents are stacked on it;
+    * selection: the first (lowest-position) named entry matching
+      ``user_agent``, else the first default entry.
     """
+    agent = user_agent.lower()
     lines = robots.select(
         "host",
         F.posexplode(F.split("robots_txt", "\n")).alias("pos", "raw"),
@@ -42,33 +61,78 @@ def parse_robots(robots: DataFrame, user_agent: str = "*") -> DataFrame:
         # strip comments and surrounding whitespace
         "line", F.trim(F.regexp_replace("raw", "#.*$", ""))
     )
-    ua = F.when(
-        F.lower("line").startswith("user-agent:"),
-        F.trim(F.expr("substring(line, 12)")),
+    low = F.lower("line")
+    lines = lines.withColumn(
+        "kind",
+        F.when(F.col("line") == "", "blank")
+        .when(low.startswith("user-agent:"), "ua")
+        .when(low.startswith("disallow:") | low.startswith("allow:"), "rule")
+        .otherwise("other"),  # unknown keys: no state change (robotparser)
     )
-    w = W.partitionBy("host").orderBy("pos").rowsBetween(
+    w_run = W.partitionBy("host").orderBy("pos").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    scoped = lines.withColumn("cur_ua", F.last(ua, ignorenulls=True).over(w))
-    # robots.txt group precedence (and the urllib.robotparser oracle):
-    # a named agent obeys ONLY its most specific matching group — when a
-    # host DECLARES a group for ``user_agent`` (even one whose only rule
-    # is the empty allow-all ``Disallow:``), its ``*`` rules must NOT
-    # also apply. The flag therefore comes from the group DECLARATIONS
-    # in the scoped lines, not from the surviving non-empty rules — an
-    # empty named group must still shadow ``*``. Per-host max-flag
-    # window; for user_agent="*" every row is the specific group and
-    # this is a no-op.
-    spec = F.max(
-        F.when(F.col("cur_ua") == user_agent, 1).otherwise(0)
-    ).over(W.partitionBy("host"))
+    w_prev = W.partitionBy("host").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    scoped = (
+        lines
+        # blank-delimited segment: rule lines only attach inside the
+        # segment of their UA stack
+        .withColumn(
+            "seg", F.sum((F.col("kind") == "blank").cast("int")).over(w_run))
+        # a UA line starts a new entry unless the previous relevant
+        # (non-'other') line was also a UA line (header stacking)
+        .withColumn(
+            "prev_rel",
+            F.last(F.when(F.col("kind") != "other", F.col("kind")),
+                   ignorenulls=True).over(w_prev))
+        .withColumn(
+            "entry_start",
+            ((F.col("kind") == "ua")
+             & (F.col("prev_rel").isNull() | (F.col("prev_rel") != "ua"))
+             ).cast("int"))
+        .withColumn("entry_id", F.sum("entry_start").over(w_run))
+        .withColumn(
+            "last_ua_seg",
+            F.last(F.when(F.col("kind") == "ua", F.col("seg")),
+                   ignorenulls=True).over(w_run))
+    )
+    ua_rows = scoped.filter(F.col("kind") == "ua").select(
+        "host", "entry_id",
+        F.lower(F.trim(F.expr("substring(line, 12)"))).alias("ua"),
+    )
+    rule_rows = scoped.filter(
+        (F.col("kind") == "rule")
+        & (F.col("entry_id") >= 1)
+        & (F.col("last_ua_seg") == F.col("seg"))
+    ).select(
+        "host", "entry_id",
+        # Allow lines retain the entry but contribute no prefix
+        F.when(low.startswith("disallow:"),
+               F.trim(F.expr("substring(line, 10)"))).alias("prefix"),
+    )
+    flags = ua_rows.groupBy("host", "entry_id").agg(
+        F.max((F.col("ua") == "*").cast("int")).alias("has_star"),
+        F.max((F.col("ua") == agent).cast("int")).alias("has_named"),
+    )
+    retained = rule_rows.groupBy("host", "entry_id").agg(
+        F.count("*").alias("n_rules"))
+    pick = (
+        flags.join(retained, ["host", "entry_id"])
+        .groupBy("host")
+        .agg(
+            F.min(F.when((F.col("has_named") == 1) & (F.col("has_star") == 0),
+                         F.col("entry_id"))).alias("named_id"),
+            F.min(F.when(F.col("has_star") == 1,
+                         F.col("entry_id"))).alias("star_id"),
+        )
+        .select("host", F.coalesce("named_id", "star_id").alias("entry_id"))
+    )
     return (
-        scoped.withColumn("_spec", spec)
-        .filter(F.lower("line").startswith("disallow:"))
-        .filter((F.col("cur_ua") == user_agent)
-                | ((F.col("cur_ua") == "*") & (F.col("_spec") == 0)))
-        .select("host", F.trim(F.expr("substring(line, 10)")).alias("prefix"))
-        .filter(F.col("prefix") != "")
+        rule_rows.join(pick, ["host", "entry_id"])
+        .filter(F.col("prefix").isNotNull() & (F.col("prefix") != ""))
+        .select("host", "prefix")
         .distinct()
     )
 
