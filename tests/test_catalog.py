@@ -233,6 +233,114 @@ def test_compact_preserves_hidden_partitioning(spark, tmp_path):
         sorted(i for i in range(300) if i % 5 == 2)
 
 
+def test_merge_upsert_updates_inserts_keeps(spark, tmp_path):
+    """Row-level MERGE semantics: matched keys take the source row,
+    unmatched source rows insert, untouched target rows survive; the
+    result is ONE snapshot and old data dirs are GC'd."""
+    import glob
+    import os
+
+    t = Catalog(str(tmp_path)).table("corpus")
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"), epoch=1)
+    t.append(spark.createDataFrame(
+        [(3, "c")], "id long, v string"), epoch=2)
+    src = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string")
+    sid = t.merge_upsert(spark, src, key="id")
+    assert sid is not None
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    assert len(t.snapshots()) == 1
+    assert t.latest_epoch() == 2  # preserved like compact
+    live = {p for s in t.snapshots() for p in s.files}
+    on_disk = set(glob.glob(os.path.join(str(tmp_path), "corpus", "data", "*")))
+    assert on_disk == live
+    # full-reconciliation mode: rows missing from the source are deleted
+    t.merge_upsert(spark, src, key="id", delete_missing=True)
+    assert {r["id"] for r in t.read(spark).collect()} == {2, 4}
+
+
+def test_merge_upsert_aborts_on_any_concurrent_commit(spark, tmp_path):
+    """MERGE CAS: the merged state was computed against the base
+    snapshot set, so even a concurrent APPEND must abort the commit
+    (Iceberg serializable-merge conflict) — unlike compact, which can
+    carry appended tails forward."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    cat = Catalog(str(tmp_path))
+    t = cat.table("corpus")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), epoch=1)
+
+    orig_lock = t._manifest_lock
+
+    def lock_after_race():
+        cat.table("corpus").append_pdf(
+            pd.DataFrame({"id": [7], "v": ["raced"]}), epoch=2)
+        t._manifest_lock = orig_lock
+        return orig_lock()
+
+    t._manifest_lock = lock_after_race
+    src = spark.createDataFrame([(1, "A2")], "id long, v string")
+    assert t.merge_upsert(spark, src, key="id") is None
+    # manifest untouched by the aborted merge: base + raced append live
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 7: "raced"}
+    live = {p for s in t.snapshots() for p in s.files}
+    on_disk = set(glob.glob(os.path.join(str(tmp_path), "corpus", "data", "*")))
+    assert on_disk == live  # aborted merge dir GC'd
+    # the retry against the new manifest succeeds and keeps the raced row
+    assert t.merge_upsert(spark, src, key="id") is not None
+    got2 = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got2 == {1: "A2", 7: "raced"}
+
+
+def test_merge_upsert_lays_out_under_current_spec(spark, tmp_path):
+    """MERGE writes the new table state under the current partition
+    spec, so post-merge scans still prune (same contract as append /
+    compact)."""
+    from pyspark.sql import functions as F
+
+    t = Catalog(str(tmp_path)).table("frontier")
+    t.set_partition_spec([("bucket", 4, "host")])
+    mk = lambda lo: spark.range(lo, lo + 100).select(
+        "id", F.concat(F.lit("h"), (F.col("id") % 5)).alias("host"))
+    t.append(mk(0), epoch=1)
+    src = spark.range(100, 120).select(
+        "id", F.lit("h2").alias("host"))
+    assert t.merge_upsert(spark, src, key="id") is not None
+    scan = t.scan(spark, eq={"host": "h2"})
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted")
+    assert "_p_bucket4_host" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert sorted(r["id"] for r in scan.collect()) == \
+        sorted([*range(2, 100, 5), *range(100, 120)])
+    assert "_p_bucket4_host" not in t.read(spark).columns
+
+
+def test_replace_applies_current_spec(spark, tmp_path):
+    """ADVICE r03 #2: replace() derives the hidden partition columns,
+    partitions the write, and records meta['spec'] exactly like
+    append() — a spec'd table maintained via replace keeps pruning."""
+    from pyspark.sql import functions as F
+
+    t = Catalog(str(tmp_path)).table("state")
+    t.set_partition_spec([("bucket", 4, "host")])
+    df = spark.range(200).select(
+        "id", F.concat(F.lit("h"), (F.col("id") % 5)).alias("host"))
+    t.replace(df, epoch=1)
+    assert t.snapshots()[0].meta.get("spec") == [["bucket", 4, "host"]]
+    scan = t.scan(spark, eq={"host": "h1"})
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted")
+    assert "_p_bucket4_host" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert sorted(r["id"] for r in scan.collect()) == sorted(range(1, 200, 5))
+    assert "_p_bucket4_host" not in t.read(spark).columns
+
+
 def test_compact_aborts_when_base_snapshot_vanishes(spark, tmp_path):
     """CAS guard: if a base snapshot was replaced/rolled back between
     compact's read and its commit, the rewrite would RESURRECT removed

