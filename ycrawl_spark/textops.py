@@ -324,6 +324,15 @@ def bucket_pairs(df: DataFrame, key_cols: list[str], id_col: str = "doc_id",
 
     ``payload_cols`` ride along per id (e.g. the sketch for exact
     re-verification) and come back as ``<col>_a`` / ``<col>_b``.
+
+    PRECONDITION — rows must be distinct per bucket (ADVICE r03 #4):
+    ``collect_set`` collapses fully-identical (id, payload) rows
+    within a bucket, so pair MULTIPLICITY survives only when the
+    caller pre-deduplicates rows per (bucket, id, payload) — e.g.
+    ``ngram_shared_pairs``'s n_common count relies on its upstream
+    ``array_distinct``. A caller whose duplicate rows carry meaning
+    must deduplicate-with-a-count first (and weight downstream), not
+    feed raw duplicates; they would silently undercount here.
     """
     if cap is not None:
         df = cap_hot_buckets(df, list(key_cols), cap)
@@ -486,18 +495,19 @@ def minhash_md5_jaccard_audit(df: DataFrame, n_perm: int = 16,
     its dedup threshold: the estimate is what the cheap sketch says,
     the exact value is ground truth on the (small) candidate set.
 
-    Plan shape: one signature scan feeds the pair generation
-    (bucket_pairs — no self-join), then the narrow (doc_a, doc_b) pair
-    ids join the doc-keyed signature frame twice; at corpus scale the
-    pair side is the small one and the joins co-partition on doc id.
+    Plan shape (round-3 VERDICT #6 — bounded state): only the NARROW
+    signature frame (doc_id + n_perm fixed-width md5 strings) is
+    checkpointed for its multiple consumers; the heavy per-doc shingle
+    sets are never materialized corpus-wide — they are recomputed from
+    the text ONLY for candidate-pair members via a semi-join pushdown
+    (the candidate set is what LSH made small). The r03 version
+    checkpointed signatures INCLUDING the full shingle arrays, which
+    spills at 10-TB scale; this one stores O(corpus × n_perm·32B)
+    narrow state plus O(candidates) wide state.
     """
     rows_per_band = n_perm // bands
-    # Three consumers read the signature frame (pair generation + the
-    # a/b payload joins); localCheckpoint materializes the expensive
-    # sketch ONCE instead of re-deriving the tokenize+shingle+16×md5
-    # subtree per branch — the same lineage-cut pattern graph.py uses.
-    sigs = minhash_md5_signatures(df, n_perm, k, text_col).localCheckpoint(
-        eager=False)
+    sigs = minhash_md5_signatures(df, n_perm, k, text_col).drop(
+        "sh").localCheckpoint(eager=False)
     band_cols = [
         F.md5(
             F.concat_ws(",", *[
@@ -517,15 +527,29 @@ def minhash_md5_jaccard_audit(df: DataFrame, n_perm: int = 16,
         bucket_pairs(stacked, ["band_id", "band_hash"], cap=bucket_cap)
         .select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=False)  # consumed by cand_ids + final join
     )
+    # exact shingle sets ONLY for candidate-pair members
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_frame = with_tokens(
+        fan_out(df.join(cand_ids, "doc_id", "left_semi")), text_col
+    ).select("doc_id", F.array_distinct(shingles_col("tokens", k)).alias("sh"))
     a = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{i}").alias(f"sa{i}") for i in range(n_perm)],
     )
     b = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("doc_id").alias("doc_b"),
         *[F.col(f"s{i}").alias(f"sb{i}") for i in range(n_perm)],
     )
+    sh_a = sh_frame.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_frame.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     n_match = sum(
         F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
         for i in range(n_perm)
@@ -533,6 +557,7 @@ def minhash_md5_jaccard_audit(df: DataFrame, n_perm: int = 16,
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         pairs.join(a, "doc_a").join(b, "doc_b")
+        .join(sh_a, "doc_a").join(sh_b, "doc_b")
         .select(
             "doc_a", "doc_b",
             n_match.cast("long").alias("n_match"),
