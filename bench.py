@@ -61,6 +61,22 @@ HEADLINE = [
     "ivf_md5_ann_topk",        # deterministic IVF cell-probe ANN
     "video_frame_dedup",       # Y4M decode → frame phash → LSH
     "export_shard_assignment", # prefix-sum shard routing
+    "pq_md5_ann_topk",         # deterministic PQ/ADC ANN (r04)
+    "merge_upsert_reconcile",  # catalog row-level MERGE (r04)
+]
+
+# Longitudinal anchor (VERDICT r03 #8): the suite grows every round
+# (16 → 20 → 24 → 26 queries), so the full-suite total stopped being
+# round-comparable. CORE16 is frozen to the round-1 headline set —
+# never append here; new queries join HEADLINE only — and bench output
+# carries BOTH totals (queries_total_core16 / queries_total_full).
+CORE16 = [
+    "q1_pricing_summary", "dedupe_latest_order", "fx_enrich_orders",
+    "weekly_best_order", "daily_drift", "top3_orders_per_customer",
+    "customers_without_orders", "union_live_history", "sessionize_users",
+    "exact_dedup_prefix", "minhash_lsh_candidates", "simhash_near_dups",
+    "doc_token_stats", "cosine_topk", "ann_lsh_topk",
+    "multimodal_image_features",
 ]
 
 
@@ -276,6 +292,9 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": qtimes,
+            "queries_total_core16": round(
+                sum(t for n, t in qtimes.items() if n in CORE16), 3),
+            "queries_total_full": round(sum(qtimes.values()), 3),
             "sf": sf,
             "crawl": crawl,
             "cores": cores,

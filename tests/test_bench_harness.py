@@ -39,3 +39,24 @@ def test_scaling_mode_contract(tmp_path):
     assert "scaling_efficiency" in res
     # both levels crawled the same input to quiescence
     assert res["local[2]"]["urls"] == res["local[4]"]["urls"]
+
+
+def test_core16_is_frozen_subset():
+    """CORE16 is the longitudinal anchor (VERDICT r03 #8): exactly the
+    round-1 headline set, a subset of the growing HEADLINE list, and
+    every name still resolves in the registry."""
+    import bench
+    from ycrawl_spark.queries import QUERIES
+
+    assert len(bench.CORE16) == 16
+    assert set(bench.CORE16) <= set(bench.HEADLINE)
+    assert all(n in QUERIES for n in bench.HEADLINE)
+    # frozen: the r01 suite, byte for byte
+    assert bench.CORE16 == [
+        "q1_pricing_summary", "dedupe_latest_order", "fx_enrich_orders",
+        "weekly_best_order", "daily_drift", "top3_orders_per_customer",
+        "customers_without_orders", "union_live_history",
+        "sessionize_users", "exact_dedup_prefix", "minhash_lsh_candidates",
+        "simhash_near_dups", "doc_token_stats", "cosine_topk",
+        "ann_lsh_topk", "multimodal_image_features",
+    ]
