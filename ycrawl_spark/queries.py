@@ -3726,6 +3726,23 @@ def quality_gate_funnel(spark, sf_dir):
     )
 
 
+def _md5_hex48(expr: str) -> str:
+    """Uniform 48-bit BIGINT from the first 12 md5 hex digits via
+    shared ascii/CASE arithmetic (unlike _ascii_fold7, which is a
+    nonuniform ascii fold — fine as a hash, unusable as a uniform
+    variate). Both engines evaluate this text identically; uniformity
+    over [0, 2^48) is what the KMV estimator needs."""
+    digit = (
+        "(ascii(substr(md5({e}), {j}, 1)) - 48 - "
+        "CASE WHEN ascii(substr(md5({e}), {j}, 1)) >= 97 "
+        "THEN 39 ELSE 0 END)"
+    )
+    return " + ".join(
+        "CAST(" + digit.format(e=expr, j=j) + f" AS BIGINT) * {16 ** (12 - j)}"
+        for j in range(1, 13)
+    )
+
+
 def _ascii_fold7(expr: str) -> str:
     """56-bit-ish deterministic BIGINT from an md5 hex prefix via ascii
     arithmetic — the only integer-from-md5 construction both engines
@@ -3968,6 +3985,201 @@ def merge_upsert_reconcile(spark, sf_dir):
     return t.read(spark).select("doc_id", F.md5("text").alias("h"))
 
 
+@query(
+    "duplicate_span_stats",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sp AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS fp
+           FROM tok, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)),
+    hot AS (SELECT fp FROM sp GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN fp IN (SELECT fp FROM hot)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+    FROM sp GROUP BY doc_id
+    """,
+)
+def duplicate_span_stats(spark, sf_dir):
+    """Inter-document repeated-span audit (the Lee et al. 'Deduplicating
+    Training Data Makes Language Models Better' ExactSubstr signal, at
+    8-token granularity): per document, how many of its 8-token span
+    positions also occur in ANOTHER document — the boilerplate/mirror
+    mass a span-level dedup would remove, measured BEFORE committing to
+    one. Shape: spans keep within-doc multiplicity (every position
+    counts); fingerprints are md5 so the shuffle carries 32-byte keys,
+    never the spans; one groupBy builds the cross-doc span table, one
+    co-partitioned left join + groupBy scores the docs. No pair
+    materialization anywhere — this is linear in corpus spans."""
+    docs = load(spark, sf_dir, "documents")
+    spans = docs.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, greatest(size(split(text,' ')) - 7, 0)),"
+        " i -> md5(array_join(slice(split(text,' '), i, 8), ' ')))) AS fp",
+    )
+    hot = (
+        spans.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    return (
+        spans.join(hot, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup_spans"),
+        )
+    )
+
+
+@query(
+    "oov_rate_by_source",
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+    vocab AS (SELECT tok FROM (
+                SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok)
+              ORDER BY n DESC, tok ASC LIMIT 32)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT CASE WHEN tok IN (SELECT tok FROM vocab)
+                         THEN NULL ELSE tok END) AS BIGINT) AS n_oov_types
+    FROM tok GROUP BY source
+    """,
+)
+def oov_rate_by_source(spark, sf_dir):
+    """Tokenizer-coverage audit: fix the vocabulary to the corpus's
+    top-32 tokens (global count, ties on token — the deterministic
+    'train the tokenizer on the head' stand-in) and report each
+    source's out-of-vocabulary token mass and distinct OOV types — the
+    per-slice coverage table a pipeline checks before freezing a
+    tokenizer. Shape: the vocab is a distributed top-k
+    (TakeOrderedAndProject over the token-count aggregate — never a
+    global sort) broadcast back over the token stream; one scan feeds
+    both aggregates."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok")).limit(32)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("tok")))
+            .alias("n_oov_types"),
+        )
+    )
+
+
+@query(
+    "delta_agg_maintenance",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def delta_agg_maintenance(spark, sf_dir):
+    """Incremental aggregate maintenance: the standing per-priority
+    (count, revenue-cents) aggregate is MAINTAINED from a base
+    aggregate plus a delta-batch aggregate (full-outer merge on the
+    group key, coalesced integer sums) instead of recomputed over the
+    union — the continuous-crawl pattern where each epoch folds its
+    delta into a standing rollup, touching delta-sized data per fold.
+    The oracle recomputes from scratch; the merged result must be
+    value-identical (integer cents — no float summation-order drift)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    cut = F.lit("1997-01-01").cast("date")
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("cents"))
+
+    base = agg(o.filter(F.col("o_orderdate") < cut))
+    delta = agg(o.filter(F.col("o_orderdate") >= cut))
+    b = base.select("o_orderpriority", F.col("n").alias("n_b"),
+                    F.col("cents").alias("c_b"))
+    d = delta.select("o_orderpriority", F.col("n").alias("n_d"),
+                     F.col("cents").alias("c_d"))
+    return (
+        b.join(d, ["o_orderpriority"], "full")
+        .select(
+            "o_orderpriority",
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+            .alias("n"),
+            (F.coalesce("c_b", F.lit(0)) + F.coalesce("c_d", F.lit(0)))
+            .alias("cents"),
+        )
+    )
+
+
+def _kmv_oracle() -> str:
+    h = _md5_hex48("CAST(l_partkey AS VARCHAR)")
+    return f"""
+    WITH hv AS (SELECT DISTINCT {h} AS v FROM lineitem),
+    kth AS (SELECT v FROM hv ORDER BY v ASC LIMIT 1 OFFSET 63),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM hv)
+    SELECT CAST(64 AS BIGINT) AS k, kth.v AS kth_value,
+           CAST(63 * 281474976710656 // kth.v AS BIGINT) AS est_distinct,
+           ex.exact_distinct,
+           CAST(abs(63 * 281474976710656 // kth.v - ex.exact_distinct)
+                * 10000 // ex.exact_distinct AS BIGINT) AS err_bp
+    FROM kth, ex
+    """
+
+
+@query("kmv_distinct_sketch", _kmv_oracle())
+def kmv_distinct_sketch(spark, sf_dir):
+    """K-minimum-values distinct-count sketch, deterministic and
+    oracle-exact (Bar-Yossef et al. 2002 — the mergeable cardinality
+    sketch family HyperLogLog belongs to, built here from md5 so both
+    engines reproduce it bit-for-bit, unlike approx_count_distinct's
+    opaque HLL±): hash every part key to a uniform 48-bit integer
+    (_md5_hex48 — ascii/CASE arithmetic shared with the SQL oracle),
+    keep the k=64 smallest, estimate distinct ≈ (k−1)·2^48 / kth_min.
+    Output: the estimate next to the exact count and the error in
+    basis points — the calibration row a pipeline records before
+    trusting the sketch on the 10^10-key frontier, where the k-min
+    set is a map-side-combinable TakeOrdered (64 longs per partition,
+    no distinct shuffle)."""
+    li = load(spark, sf_dir, "lineitem")
+    hv = li.selectExpr(
+        f"{_md5_hex48('CAST(l_partkey AS STRING)')} AS v").distinct()
+    kth = (
+        hv.orderBy(F.asc("v")).limit(64)
+        .agg(F.max("v").alias("kth_value"),
+             F.count("*").alias("k"))
+    )
+    ex = hv.agg(F.count("*").alias("exact_distinct"))
+    return (
+        kth.crossJoin(ex)
+        .select(
+            F.col("k").cast("long").alias("k"),
+            "kth_value",
+            F.expr("CAST(63 * 281474976710656 DIV kth_value AS BIGINT)")
+            .alias("est_distinct"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.expr(
+                "CAST(abs(63 * 281474976710656 DIV kth_value "
+                "- exact_distinct) * 10000 DIV exact_distinct AS BIGINT)"
+            ).alias("err_bp"),
+        )
+    )
+
+
 @query("crossmodal_dup_audit", _crossmodal_oracle())
 def crossmodal_dup_audit(spark, sf_dir):
     """Joint-modality dedup audit (VERDICT r02 #7): image/caption pairs
@@ -4087,10 +4299,10 @@ DRIVER_WINDOW: list[str] = [
     "merge_upsert_reconcile",    # r04: catalog row-level MERGE (VERDICT r03 #5)
     "symmetric_date_window",
     "stream_seen_first_event",   # r04: reformulated splittable-safe — re-gate
-    "near_dup_components",
-    "pack_sequence_chunks",
-    "mixture_sampling",
-    "pii_redaction",
+    "duplicate_span_stats",      # r04: inter-doc repeated-span audit
+    "oov_rate_by_source",        # r04: tokenizer-coverage audit
+    "delta_agg_maintenance",     # r04: incremental aggregate maintenance
+    "kmv_distinct_sketch",       # r04: oracle-exact cardinality sketch
     "near_dup_dedup",
     "tfidf_top_terms",
     "block_dedup_stats",
