@@ -3565,6 +3565,112 @@ def _pair_degree_oracle() -> str:
     """
 
 
+def _triangle_oracle() -> str:
+    pairs = _minhash_md5_oracle()
+    return f"""
+    WITH p AS ({pairs}),
+    t AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+          FROM p e1
+          JOIN p e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+          JOIN p e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b),
+    n AS (SELECT a AS node FROM t
+          UNION ALL SELECT b FROM t
+          UNION ALL SELECT c FROM t)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM n GROUP BY node
+    """
+
+
+@query("dedup_graph_triangles", _triangle_oracle())
+def dedup_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts of the near-dup candidate-pair graph —
+    the cluster-density diagnostic that separates template FARMS
+    (clique-like: every member pairs with every member → triangle-rich)
+    from mutation CHAINS (path-like: triangle-free), which decides
+    whether keep-one dedup or span-level surgery is the right removal.
+
+    Scale shape: degree-ordered orientation (Cohen, MapReduce triangle
+    counting) — every edge points from its lower-(degree, id) endpoint
+    to the higher one, so each node's OUT-degree is O(√m) regardless
+    of how hot a template hub is; wedges come from the oriented
+    adjacency self-join (bounded fan-out, never the hot node's full
+    neighborhood squared) and close against the same oriented edge
+    set. Triangles are orientation-independent, so the SQL oracle's
+    a<b<c enumeration must match value-for-value."""
+    pairs = textops.minhash_md5_lsh_candidates(
+        load(spark, sf_dir, "documents"), n_perm=16, bands=4, k=4
+    ).localCheckpoint(eager=False)  # feeds degrees + orientation
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        .groupBy("doc").agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("doc").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("doc").alias("doc_b"), F.col("deg").alias("deg_b"))
+    withdeg = pairs.join(da, "doc_a").join(db, "doc_b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b")))
+    e = withdeg.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    ).localCheckpoint(eager=False)  # wedge sides + closing edges
+    e1 = e.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("dv1"))
+    e2 = e.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("dv2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2"))))
+    closing = e.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    nodes = tri.selectExpr("explode(array(u, v1, v2)) AS node")
+    return nodes.groupBy("node").agg(F.count("*").alias("n_tri"))
+
+
+@query(
+    "quality_weighted_dedup",
+    """
+    WITH f AS (SELECT doc_id,
+                      md5(array_to_string(string_split(text,' ')[1:32], ' '))
+                        AS fp,
+                      len(list_distinct(string_split(text,' '))) AS q
+               FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp
+                    ORDER BY q DESC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY fp) AS group_n
+          FROM f)
+    SELECT fp, doc_id AS kept_doc, CAST(group_n AS BIGINT) AS group_n,
+           CAST(q AS BIGINT) AS best_q
+    FROM r WHERE rn = 1
+    """,
+)
+def quality_weighted_dedup(spark, sf_dir):
+    """Keep-BEST dedup: within each exact content-fingerprint group,
+    keep the highest-quality member (lexical diversity, ties on id) —
+    the production refinement of keep-first dedup (a mirror with ads
+    stripped beats the original; min-id keeps whichever crawled
+    first). One fingerprint shuffle + per-group window; quality is an
+    in-row integer so no second scan."""
+    docs = load(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 32), " "))
+        .alias("fp"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("q"),
+    )
+    w = W.partitionBy("fp").orderBy(F.desc("q"), F.asc("doc_id"))
+    wc = W.partitionBy("fp")
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_n", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fp", F.col("doc_id").alias("kept_doc"),
+            F.col("group_n").cast("long").alias("group_n"),
+            F.col("q").cast("long").alias("best_q"),
+        )
+    )
+
+
 @query("pair_degree_profile", _pair_degree_oracle())
 def pair_degree_profile(spark, sf_dir):
     """Dedup-graph QC: the degree distribution of the candidate-pair
@@ -4180,6 +4286,93 @@ def kmv_distinct_sketch(spark, sf_dir):
     )
 
 
+@query(
+    "ann_recall_audit",
+    """
+    WITH x AS (SELECT vec_id, i - 1 AS dim,
+                      CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+               FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+    cid AS (SELECT vec_id AS cid FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+    c AS (SELECT cid.cid, x.dim, x.v6 AS c6
+          FROM x JOIN cid ON x.vec_id = cid.cid),
+    d AS (SELECT x.vec_id, c.cid, SUM((x.v6 - c.c6) * (x.v6 - c.c6)) AS d2
+          FROM x JOIN c ON x.dim = c.dim
+          GROUP BY 1, 2),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY d2 ASC, cid ASC) AS rk FROM d),
+    cell AS (SELECT vec_id, cid FROM rk WHERE rk = 1),
+    probe AS (SELECT vec_id AS query_id, cid FROM rk
+              WHERE vec_id < 3 AND rk <= 2),
+    cand AS (SELECT p.query_id, cl.vec_id AS neighbor_id
+             FROM probe p JOIN cell cl ON p.cid = cl.cid
+             WHERE cl.vec_id <> p.query_id),
+    ivfd AS (SELECT ca.query_id, ca.neighbor_id,
+                    SUM((q.v6 - n.v6) * (q.v6 - n.v6)) AS d2q
+             FROM cand ca
+             JOIN x q ON q.vec_id = ca.query_id
+             JOIN x n ON n.vec_id = ca.neighbor_id AND n.dim = q.dim
+             GROUP BY 1, 2),
+    ivf AS (SELECT query_id, neighbor_id FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY d2q ASC, neighbor_id ASC) AS rank
+              FROM ivfd) WHERE rank <= 10),
+    exd AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   SUM((q.v6 - n.v6) * (q.v6 - n.v6)) AS d2
+            FROM x q JOIN x n ON n.dim = q.dim AND n.vec_id <> q.vec_id
+            WHERE q.vec_id < 3 GROUP BY 1, 2),
+    exact AS (SELECT query_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY d2 ASC, neighbor_id ASC) AS rank
+                FROM exd) WHERE rank <= 10)
+    SELECT e.query_id, CAST(10 AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+    FROM exact e
+    LEFT JOIN ivf i ON i.query_id = e.query_id
+                   AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_audit(spark, sf_dir):
+    """Recall@10 of the IVF 2-probe index against the exact brute-force
+    top-10 — THE number an ANN deployment signs off on before trusting
+    the index at corpus scale, here fully value-gated because both
+    paths are deterministic integer arithmetic (the md5-centroid IVF
+    twin vs an exact quantized-L2 scan). Output: per query the hit
+    count out of k; the oracle recomputes both pipelines and the
+    set intersection."""
+    emb = load(spark, sf_dir, "embeddings")
+    ivf = vectors.ivf_exact_topk(emb, n_queries=3, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    x = emb.select(
+        "vec_id", F.posexplode(vectors._as_double("embedding")).alias("dim", "v")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("v") * 1_000_000).cast("long").alias("v6"))
+    q = x.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("v6").alias("q6"))
+    exd = (
+        x.join(F.broadcast(q), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_dq", (F.col("q6") - F.col("v6")) * (F.col("q6") - F.col("v6")))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("_dq").alias("d2"))
+    )
+    wk = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    exact = (
+        exd.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"))
+        .select("query_id", F.lit(10).cast("long").alias("k"), "n_hit")
+    )
+
+
 @query("crossmodal_dup_audit", _crossmodal_oracle())
 def crossmodal_dup_audit(spark, sf_dir):
     """Joint-modality dedup audit (VERDICT r02 #7): image/caption pairs
@@ -4304,9 +4497,9 @@ DRIVER_WINDOW: list[str] = [
     "delta_agg_maintenance",     # r04: incremental aggregate maintenance
     "kmv_distinct_sketch",       # r04: oracle-exact cardinality sketch
     "near_dup_dedup",
-    "tfidf_top_terms",
-    "block_dedup_stats",
-    "exact_group_percentiles",
+    "dedup_graph_triangles",     # r04: cluster-density triangle counts
+    "quality_weighted_dedup",    # r04: keep-best dedup
+    "ann_recall_audit",          # r04: value-gated recall@10 audit
     "unpivot_lineitem_measures",
     "grouping_sets_order_stats",
     "ntile_price_quartiles",
