@@ -150,6 +150,42 @@ def test_stateful_first_by_rank_survives_tiny_splits(spark, tmp_path):
     assert got == expect
 
 
+def test_stream_merge_into_catalog_upserts_across_drains(spark, tmp_path):
+    """foreachBatch MERGE sink: first drain seeds the table, a second
+    drain over a new file updates overlapping keys and inserts new
+    ones; the catalog ends at exactly the last version per key."""
+    from ycrawl_spark.catalog import Catalog
+
+    d = str(tmp_path / "dim_stream")
+    cols = "key string, canonical_host string, epoch int, attempt int, " \
+           "shuffle_rank long, status string, exetime double"
+
+    def rows(lo, hi, epoch):
+        return [(f"k{i}", f"h{i % 3}", epoch, 1, i, f"v{epoch}", 1.0)
+                for i in range(lo, hi)]
+
+    t = Catalog(str(tmp_path)).table("dim")
+    ck = str(tmp_path / "ckpt_merge")
+
+    spark.createDataFrame(rows(0, 10, 1), cols).coalesce(1).write.parquet(d)
+    stream = streaming.stream_source(spark, d, streaming.FETCH_LOG_SCHEMA)
+    streaming.stream_merge_into(stream, t, key="key", checkpoint_dir=ck)
+    got1 = {r["key"]: r["status"] for r in t.read(spark).collect()}
+    assert got1 == {f"k{i}": "v1" for i in range(10)}
+
+    # second file: keys 5-14 at epoch 2 — a fresh AvailableNow drain
+    # picks up only the delta and upserts it
+    spark.createDataFrame(rows(5, 15, 2), cols).coalesce(1) \
+        .write.mode("append").parquet(d)
+    stream2 = streaming.stream_source(spark, d, streaming.FETCH_LOG_SCHEMA)
+    streaming.stream_merge_into(stream2, t, key="key", checkpoint_dir=ck)
+    got2 = {r["key"]: r["status"] for r in t.read(spark).collect()}
+    expect = {f"k{i}": "v1" for i in range(5)}
+    expect.update({f"k{i}": "v2" for i in range(5, 15)})
+    assert got2 == expect
+    assert len(t.snapshots()) == 1  # MERGE keeps the table one-snapshot
+
+
 def test_incremental_files_and_host_throughput(spark, events_dir, tmp_path):
     stream = streaming.stream_source(spark, events_dir, streaming.EVENTS_SCHEMA)
     by_type = (

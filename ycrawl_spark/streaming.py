@@ -205,6 +205,36 @@ def stateful_first_by_rank(fetch_log: DataFrame, n_buckets: int = 32) -> DataFra
     )
 
 
+def stream_merge_into(stream_df: DataFrame, table, key: str | list,
+                      checkpoint_dir: str) -> None:
+    """Streaming upsert sink: every micro-batch row-level-MERGEs into a
+    manifest-catalog table (``Table.merge_upsert`` — update matched
+    keys, insert new ones) via ``foreachBatch`` — the streaming write
+    side of the catalog, i.e. a continuously-maintained dimension/state
+    table fed by a stream (the crawl's live seen-agg / fx-rate shape).
+
+    Exactly-once without a transactional sink: the MERGE is idempotent
+    (re-merging a replayed batch reproduces the same table state), so
+    checkpoint replay after a crash converges — the standard
+    foreachBatch-upsert recipe. The CAS abort can only fire if an
+    EXTERNAL writer races the stream; that is a real conflict and
+    raises rather than silently dropping the batch."""
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if table.merge_upsert(batch_df.sparkSession, batch_df,
+                              key=key) is None:
+            raise RuntimeError(
+                f"stream_merge_into: CAS conflict on batch {batch_id} — "
+                "an external writer committed between read and merge")
+
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       out_mode: str = "append",
                       table_name: str | None = None) -> str:
