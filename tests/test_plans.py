@@ -303,3 +303,43 @@ def test_range_join_is_bucketed_equi_join(spark):
     plan = plan_of(spark, "range_join_windows")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_oov_vocab_is_broadcast(spark):
+    """The top-32 vocabulary must reach the token stream as a broadcast
+    (a shuffle join on the token column would reshuffle the whole
+    corpus to check 32 words), and the vocab itself must come from a
+    TakeOrdered, not a global sort of the token histogram."""
+    plan = plan_of(spark, "oov_rate_by_source")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicate_span_stats_no_pair_blowup(spark):
+    """The repeated-span audit is linear: one fingerprint aggregate +
+    one co-partitioned join back — never a span self-join pair
+    expansion or a nested loop."""
+    plan = plan_of(spark, "duplicate_span_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one equi-join (spans ⋈ hot fingerprints)
+    simple = plan_of(spark, "duplicate_span_stats", "simple")
+    n_joins = sum(simple.count(j) for j in (
+        "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, simple
+
+
+def test_kmv_kth_min_is_take_ordered(spark):
+    """The k-min set must be a distributed TakeOrdered (map-side
+    combinable, 64 longs per partition), never a global Sort."""
+    plan = plan_of(spark, "kmv_distinct_sketch", "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    """Degree-ordered triangle counting closes wedges against the
+    oriented edge set with equi-joins only."""
+    plan = plan_of(spark, "dedup_graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
