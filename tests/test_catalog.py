@@ -233,6 +233,20 @@ def test_compact_preserves_hidden_partitioning(spark, tmp_path):
         sorted(i for i in range(300) if i % 5 == 2)
 
 
+def test_read_merges_evolved_schema(spark, tmp_path):
+    """Add-column schema evolution: a snapshot written before the
+    column existed reads back with nulls, the new snapshot with values
+    — one logical table (without mergeSchema Spark takes one file's
+    schema and silently drops the new column)."""
+    t = Catalog(str(tmp_path)).table("evolving")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), epoch=1)
+    t.append(spark.createDataFrame(
+        [(2, "b", "en")], "id long, v string, lang string"), epoch=2)
+    got = {r["id"]: r["lang"] for r in t.read(spark).collect()}
+    assert got == {1: None, 2: "en"}
+    assert set(t.read(spark).columns) == {"id", "v", "lang"}
+
+
 def test_merge_upsert_updates_inserts_keeps(spark, tmp_path):
     """Row-level MERGE semantics: matched keys take the source row,
     unmatched source rows insert, untouched target rows survive; the

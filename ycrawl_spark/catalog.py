@@ -446,7 +446,11 @@ class Table:
 
     def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
         """Union of all snapshot data up to ``as_of`` (time travel).
-        Derived partition columns stay hidden."""
+        Derived partition columns stay hidden. Multi-snapshot reads use
+        ``mergeSchema`` so a column added in a later snapshot surfaces
+        with nulls for pre-evolution rows (Iceberg add-column
+        semantics) — without it Spark takes one file's schema and
+        silently DROPS the new column."""
         snaps = self.snapshots()
         if as_of is not None:
             cut = next(i for i, s in enumerate(snaps) if s.snapshot_id == as_of)
@@ -457,13 +461,14 @@ class Table:
             return None
         if not specful:
             paths = [p for s in specless for p in s.files]
-            return spark.read.parquet(*paths)
+            return spark.read.option("mergeSchema", "true").parquet(*paths)
         from functools import reduce
 
         parts = []
         if specless:
             parts.append(
-                spark.read.parquet(*[p for s in specless for p in s.files]))
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[p for s in specless for p in s.files]))
         for s in specful:
             df = spark.read.parquet(*s.files)
             drop = [name for name, _ in

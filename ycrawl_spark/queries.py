@@ -4232,6 +4232,123 @@ def delta_agg_maintenance(spark, sf_dir):
     )
 
 
+@query(
+    "schema_evolution_read",
+    """
+    WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    v2 AS (SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1),
+    u AS (SELECT doc_id, text, NULL AS lang FROM v1
+          UNION ALL SELECT doc_id, text, lang FROM v2)
+    SELECT COALESCE(lang, '<pre-evolution>') AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM u GROUP BY 1
+    """,
+)
+def schema_evolution_read(spark, sf_dir):
+    """Schema evolution on the manifest catalog (Iceberg add-column
+    contract): a snapshot written BEFORE the `lang` column existed and
+    one written after read back as ONE table, old rows null-filled —
+    value-checked per lang group against the SQL union-by-name
+    identity. The read is a unionByName(allowMissingColumns) over
+    per-snapshot scans; no rewrite of old data ever happens."""
+    from .catalog import Table
+
+    docs = load(spark, sf_dir, "documents")
+    t = Table(tempfile.mkdtemp(prefix="ycrawl_evo_"), "evolving")
+    t.append(docs.filter("doc_id % 2 = 0").select("doc_id", "text"))
+    t.append(docs.filter("doc_id % 2 = 1").select("doc_id", "text", "lang"))
+    return (
+        t.read(spark)
+        .groupBy(F.coalesce("lang", F.lit("<pre-evolution>")).alias("lang"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+def _bloom_oracle() -> str:
+    m, k = 4096, 4
+    keys = ["'p" + str(i) + ":' || CAST(p_partkey AS VARCHAR)"
+            for i in range(k)]
+    pos = [
+        f"CAST(({_md5_hex48(e)}) % {m} AS BIGINT)" for e in keys
+    ]
+    mem_sel = " UNION ALL ".join(
+        f"SELECT {p} AS pos FROM mem" for p in pos)
+    probe_sel = " UNION ALL ".join(
+        f"SELECT p_partkey AS key, {p} AS pos FROM probe" for p in pos)
+    return f"""
+    WITH mem AS (SELECT p_partkey FROM part WHERE p_partkey % 2 = 0),
+    probe AS (SELECT p_partkey FROM part WHERE p_partkey % 2 = 1),
+    bits AS (SELECT DISTINCT pos FROM ({mem_sel})),
+    pp AS ({probe_sel}),
+    hits AS (SELECT pp.key,
+                    SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS h
+             FROM pp LEFT JOIN bits b ON b.pos = pp.pos
+             GROUP BY pp.key)
+    SELECT CAST((SELECT COUNT(*) FROM mem) AS BIGINT) AS n_members,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN h = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+           CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+           CAST({m} AS BIGINT) AS m, CAST({k} AS BIGINT) AS k
+    FROM hits
+    """
+
+
+@query("bloom_fp_calibration", _bloom_oracle())
+def bloom_fp_calibration(spark, sf_dir):
+    """Bloom-filter false-positive calibration, oracle-exact — the
+    north_rule's URL-seen structure value-gated end to end: build an
+    m=4096-bit, k=4-hash filter over the even part keys (bit positions
+    from the shared _md5_hex48 arithmetic, so BOTH engines set the
+    same bits), probe with the disjoint odd keys, and report the
+    measured FP count next to the occupancy — the calibration row that
+    sizes the per-shard filters in ycrawl_spark.seen before a 10^10-key
+    crawl trusts them. Relational bloom: the bit array is a distinct
+    position table (build = one distinct shuffle over k·|A| narrow
+    rows, probe = one co-partitioned join + per-key hit count); the
+    engine's packed-bitmap implementation (seen.py) has the same
+    semantics with bits instead of rows."""
+    m, k = 4096, 4
+    part = load(spark, sf_dir, "part")
+    mem = part.filter("p_partkey % 2 = 0").select("p_partkey")
+    probe = part.filter("p_partkey % 2 = 1").select("p_partkey")
+
+    def pos(i):
+        e = "concat('p" + str(i) + ":', CAST(p_partkey AS STRING))"
+        return F.expr(f"CAST(({_md5_hex48(e)}) % {m} AS BIGINT)")
+
+    bits = (
+        mem.select(F.explode(F.array(*[pos(i) for i in range(k)])).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    pp = probe.select(
+        F.col("p_partkey").alias("key"),
+        F.explode(F.array(*[pos(i) for i in range(k)])).alias("pos"))
+    hits = (
+        pp.join(bits, "pos", "left")
+        .groupBy("key")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("h"))
+    )
+    n_mem = mem.count()
+    n_bits = bits.count()
+    agg = hits.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum((F.col("h") == k).cast("long")).cast("long").alias("n_fp"),
+    )
+    return agg.select(
+        F.lit(n_mem).cast("long").alias("n_members"),
+        "n_probes", "n_fp",
+        F.lit(n_bits).cast("long").alias("n_bits_set"),
+        F.lit(m).cast("long").alias("m"),
+        F.lit(k).cast("long").alias("k"),
+    )
+
+
 def _kmv_oracle() -> str:
     h = _md5_hex48("CAST(l_partkey AS VARCHAR)")
     return f"""
@@ -4500,8 +4617,8 @@ DRIVER_WINDOW: list[str] = [
     "dedup_graph_triangles",     # r04: cluster-density triangle counts
     "quality_weighted_dedup",    # r04: keep-best dedup
     "ann_recall_audit",          # r04: value-gated recall@10 audit
-    "unpivot_lineitem_measures",
-    "grouping_sets_order_stats",
+    "bloom_fp_calibration",      # r04: north_rule seen-set FP calibration
+    "schema_evolution_read",     # r04: catalog add-column contract
     "ntile_price_quartiles",
     "custkey_intersect_except",
     "top_tokens_global",
