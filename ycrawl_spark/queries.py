@@ -4232,6 +4232,101 @@ def delta_agg_maintenance(spark, sf_dir):
     )
 
 
+def _fuzzy_incr_oracle(n_perm: int = 16, bands: int = 4, k: int = 4) -> str:
+    rows = n_perm // bands
+    sig_cols = ",\n           ".join(
+        f"min(md5('p{i}:' || s)) AS s{i}" for i in range(n_perm)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {cols})) AS band_hash FROM sig".format(
+            b=b, cols=", ".join(f"s{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, text || ' zz7' FROM documents
+      WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 6000000,
+             'novel ' || CAST(doc_id AS VARCHAR) || ' ' ||
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 30 = 0
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tokens) - {k - 1}, 0) + 1),
+               i -> array_to_string(tokens[i:i+{k - 1}], ' '))) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sig AS (
+      SELECT doc_id,
+           {sig_cols}
+      FROM ex GROUP BY doc_id
+    ), banded AS (
+      {band_selects}
+    ), bb AS (
+      SELECT DISTINCT band_id, band_hash FROM banded WHERE doc_id < 5000000
+    ), tb AS (
+      SELECT doc_id, band_id, band_hash FROM banded WHERE doc_id >= 5000000
+    ), j AS (
+      SELECT tb.doc_id,
+             SUM(CASE WHEN bb.band_hash IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_shared
+      FROM tb LEFT JOIN bb ON bb.band_id = tb.band_id
+                          AND bb.band_hash = tb.band_hash
+      GROUP BY tb.doc_id)
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared_bands,
+           CASE WHEN n_shared > 0 THEN 'drop' ELSE 'keep' END AS verdict
+    FROM j
+    """
+
+
+@query("fuzzy_incremental_dedup", _fuzzy_incr_oracle())
+def fuzzy_incremental_dedup(spark, sf_dir):
+    """NEAR-dup incremental dedup — the fuzzy sibling of
+    incremental_dedup_new_batch: a new ingest batch is gated against
+    the EXISTING corpus by banded-MinHash collision (any shared band →
+    near-dup of something already crawled → drop), the cross-CORPUS
+    LSH join a perpetual crawl runs every epoch. Planted batch: every
+    25th doc re-ingested with one appended token (near-dup — signature
+    mostly unchanged) and every 30th token-reversed into a genuinely
+    novel doc. Shape at scale: the corpus side reduces to its DISTINCT
+    band-key set (narrow, mergeable, incrementally maintainable as an
+    append-only band table); the batch's k·|batch| band keys LEFT JOIN
+    it co-partitioned — no pair materialization, no self-join, corpus
+    text never re-read. Verdicts are deterministic (md5 bands both
+    engines), so the oracle value-checks every keep/drop."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter("doc_id % 25 = 0").selectExpr(
+        "doc_id + 5000000 AS doc_id", "concat(text, ' zz7') AS text"
+    ).unionByName(docs.filter("doc_id % 30 = 0").selectExpr(
+        "doc_id + 6000000 AS doc_id",
+        "concat('novel ', CAST(doc_id AS STRING), ' ',"
+        " array_join(reverse(split(text, ' ')), ' ')) AS text"))
+    base_bands = (
+        textops.minhash_md5_bands(docs)
+        .select("band_id", "band_hash").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    batch_bands = textops.minhash_md5_bands(batch)
+    return (
+        batch_bands.join(base_bands, ["band_id", "band_hash"], "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+             .alias("n_shared_bands"))
+        .withColumn(
+            "verdict",
+            F.when(F.col("n_shared_bands") > 0, F.lit("drop"))
+            .otherwise(F.lit("keep")))
+    )
+
+
 @query(
     "schema_evolution_read",
     """
@@ -4619,7 +4714,7 @@ DRIVER_WINDOW: list[str] = [
     "ann_recall_audit",          # r04: value-gated recall@10 audit
     "bloom_fp_calibration",      # r04: north_rule seen-set FP calibration
     "schema_evolution_read",     # r04: catalog add-column contract
-    "ntile_price_quartiles",
+    "fuzzy_incremental_dedup",   # r04: cross-corpus banded-LSH gate
     "custkey_intersect_except",
     "top_tokens_global",
     "range_join_windows",        # r03: bucketed interval join

@@ -875,20 +875,16 @@ def minhash_md5_signatures(df: DataFrame, n_perm: int = 16, k: int = 4,
     return t.select("doc_id", "sh", *sig)
 
 
-def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
-                               k: int = 4, text_col: str = "text",
-                               bucket_cap: int | None = 10_000) -> DataFrame:
-    """MinHash + banded LSH with md5-string permutations — functionally
-    the same shingle→minhash→band→bucket-join as
-    ``minhash_lsh_candidates`` but every hash is ``md5`` (identical in
-    Spark and DuckDB), so the DuckDB oracle can verify values exactly.
-
+def minhash_md5_bands(df: DataFrame, n_perm: int = 16, bands: int = 4,
+                      k: int = 4, text_col: str = "text") -> DataFrame:
+    """(doc_id, band_id, band_hash) banded-LSH keys with md5-string
+    permutations — the shared building block for within-corpus pair
+    generation (``minhash_md5_lsh_candidates``) and CROSS-corpus fuzzy
+    joins (a new batch gated against an existing corpus joins its band
+    keys against the corpus band-key set — no self-pairing needed).
     perm_i(s) = md5('p{i}:' || s); signature_i = lexicographic MIN;
     band hash = md5 of the comma-joined signatures in the band. Docs
-    with fewer than k tokens have no shingles and are excluded (the
-    oracle's unnest drops them naturally). ``bucket_cap`` (df-cap,
-    ``cap_hot_buckets``) sits far above any test-SF bucket so the
-    SQL oracle — which has no cap — still matches exactly."""
+    with fewer than k tokens have no shingles and are excluded."""
     rows_per_band = n_perm // bands
     sigs = minhash_md5_signatures(df, n_perm, k, text_col).drop("sh")
     band_cols = [
@@ -900,13 +896,26 @@ def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
         for b in range(bands)
     ]
     banded = sigs.select("doc_id", *band_cols)
-    stacked = banded.selectExpr(
+    return banded.selectExpr(
         "doc_id",
         "stack({n}, {args}) as (band_id, band_hash)".format(
             n=bands,
             args=", ".join(f"{b}, band_{b}" for b in range(bands)),
         ),
     )
+
+
+def minhash_md5_lsh_candidates(df: DataFrame, n_perm: int = 16, bands: int = 4,
+                               k: int = 4, text_col: str = "text",
+                               bucket_cap: int | None = 10_000) -> DataFrame:
+    """MinHash + banded LSH with md5-string permutations — functionally
+    the same shingle→minhash→band→bucket-join as
+    ``minhash_lsh_candidates`` but every hash is ``md5`` (identical in
+    Spark and DuckDB), so the DuckDB oracle can verify values exactly.
+    ``bucket_cap`` (df-cap, ``cap_hot_buckets``) sits far above any
+    test-SF bucket so the SQL oracle — which has no cap — still
+    matches exactly."""
+    stacked = minhash_md5_bands(df, n_perm, bands, k, text_col)
     return (
         bucket_pairs(stacked, ["band_id", "band_hash"], cap=bucket_cap)
         .select(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
