@@ -247,6 +247,31 @@ def test_read_merges_evolved_schema(spark, tmp_path):
     assert set(t.read(spark).columns) == {"id", "v", "lang"}
 
 
+def test_merge_on_read_and_materialize(spark, tmp_path):
+    """MOR contract: merge_append is a plain O(batch) append (snapshot
+    count grows), read_resolved returns last-writer-wins per key, and
+    materialize_merges folds everything into ONE resolved snapshot
+    that plain read() then agrees with."""
+    t = Catalog(str(tmp_path)).table("state")
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"), epoch=1)
+    t.merge_append(spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "id long, v string"), key="id", epoch=2)
+    t.merge_append(spark.createDataFrame(
+        [(2, "B3"), (1, "A2")], "id long, v string"), key="id", epoch=3)
+    assert len(t.snapshots()) == 3  # appends, no rewrite
+    expect = {1: "A2", 2: "B3", 3: "c", 4: "d"}
+    got = {r["id"]: r["v"] for r in t.read_resolved(spark).collect()}
+    assert got == expect
+    # plain read() still sees raw deltas (5 + 3 rows)
+    assert t.read(spark).count() == 7
+    assert t.materialize_merges(spark) is not None
+    assert len(t.snapshots()) == 1
+    got2 = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got2 == expect
+    assert t.latest_epoch() == 3
+
+
 def test_merge_upsert_updates_inserts_keeps(spark, tmp_path):
     """Row-level MERGE semantics: matched keys take the source row,
     unmatched source rows insert, untouched target rows survive; the

@@ -200,6 +200,73 @@ class Table:
             shutil.rmtree(d, ignore_errors=True)
         return snap_id
 
+    def merge_append(self, df: DataFrame, key: str | list,
+                     epoch: int | None = None) -> str:
+        """Merge-on-READ upsert (the Hudi/Iceberg-MOR counterpart of
+        ``merge_upsert``'s copy-on-write): commit the batch as a plain
+        DELTA snapshot tagged with the merge key — an O(batch) append,
+        no table rewrite — and let ``read_resolved`` apply
+        last-writer-wins per key at read time. This is the
+        write-optimized mode a continuous crawl uses for hot state
+        tables (per-epoch upserts at 10^10-row scale can't re-write
+        the table each epoch); ``materialize_merges`` folds the deltas
+        down when read amplification grows. Batches must be key-unique
+        (one row per key per commit) — within-snapshot ties are
+        unordered."""
+        keys = [key] if isinstance(key, str) else list(key)
+        return self.append(df, epoch=epoch, meta={"merge_key": keys})
+
+    def read_resolved(self, spark: SparkSession,
+                      key: str | list | None = None) -> DataFrame | None:
+        """Read with merge-on-read resolution: union every snapshot
+        tagged by commit sequence, keep the LATEST row per merge key
+        (row_number over a per-key window ordered by sequence desc).
+        ``key`` defaults to the most recent snapshot's ``merge_key``
+        tag. One window shuffle over base ∪ deltas — the read-side
+        cost MOR trades for its O(batch) writes."""
+        from functools import reduce
+
+        from pyspark.sql import Window, functions as F
+
+        snaps = self.snapshots()
+        if not snaps:
+            return None
+        if key is None:
+            tagged = [s.meta.get("merge_key") for s in snaps
+                      if s.meta.get("merge_key")]
+            if not tagged:
+                return self.read(spark)
+            key = tagged[-1]
+        keys = [key] if isinstance(key, str) else list(key)
+        parts = []
+        for i, s in enumerate(snaps):
+            df = spark.read.option("mergeSchema", "true").parquet(*s.files)
+            spec = [tuple(t) for t in s.meta.get("spec", [])]
+            if spec:
+                df = df.drop(*[name for name, _ in self._derived(spec)])
+            parts.append(df.withColumn("_seq", F.lit(i)))
+        u = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                   parts)
+        w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_seq", "_rn")
+        )
+
+    def materialize_merges(self, spark: SparkSession,
+                           key: str | list | None = None) -> str | None:
+        """Fold accumulated MOR deltas into one resolved snapshot
+        (replace = the MOR analog of compact): read_resolved → replace.
+        Returns the new snapshot id, or None if the table is empty."""
+        resolved = self.read_resolved(spark, key)
+        if resolved is None:
+            return None
+        epochs = [s.epoch for s in self.snapshots() if s.epoch is not None]
+        # replace() writes the resolved data BEFORE committing and GCs
+        # the superseded dirs only after — the lazy read is safe
+        return self.replace(resolved, epoch=max(epochs) if epochs else None)
+
     def append_pdf(self, pdf, epoch: int | None = None,
                    meta: dict | None = None) -> str:
         """Append a small driver-side pandas frame as a snapshot via a

@@ -4232,6 +4232,54 @@ def delta_agg_maintenance(spark, sf_dir):
     )
 
 
+@query(
+    "merge_on_read_resolve",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    d1 AS (SELECT doc_id, 'v2:' || text AS text FROM base
+           WHERE doc_id % 7 = 0),
+    d2 AS (SELECT doc_id, 'v3:' || text AS text FROM base
+           WHERE doc_id % 14 = 0
+           UNION ALL
+           SELECT doc_id + 9000000, 'new:' || CAST(doc_id AS VARCHAR)
+           FROM base WHERE doc_id % 11 = 0),
+    u AS (SELECT doc_id, text, 0 AS seq FROM base
+          UNION ALL SELECT doc_id, text, 1 FROM d1
+          UNION ALL SELECT doc_id, text, 2 FROM d2)
+    SELECT doc_id, md5(text) AS h FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY seq DESC) AS rn FROM u)
+    WHERE rn = 1
+    """,
+)
+def merge_on_read_resolve(spark, sf_dir):
+    """Merge-on-READ upserts (Table.merge_append + read_resolved — the
+    write-optimized counterpart of merge_upsert_reconcile's
+    copy-on-write): two delta batches append in O(batch) with no table
+    rewrite (every 7th doc updated, then every 14th re-updated and
+    every 11th inserted), and the read resolves last-writer-wins per
+    key across base ∪ deltas in ONE window shuffle. The oracle
+    replays the same commit sequence in SQL. This is the hot-state
+    upsert mode a per-epoch crawl needs at 10^10 rows — the COW mode
+    would rewrite the table each epoch."""
+    from .catalog import Table
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = Table(tempfile.mkdtemp(prefix="ycrawl_mor_"), "state")
+    t.append(docs)
+    d1 = docs.filter("doc_id % 7 = 0").selectExpr(
+        "doc_id", "concat('v2:', text) AS text")
+    t.merge_append(d1, key="doc_id")
+    d2 = docs.filter("doc_id % 14 = 0").selectExpr(
+        "doc_id", "concat('v3:', text) AS text"
+    ).unionByName(docs.filter("doc_id % 11 = 0").selectExpr(
+        "doc_id + 9000000 AS doc_id",
+        "concat('new:', CAST(doc_id AS STRING)) AS text"))
+    t.merge_append(d2, key="doc_id")
+    return t.read_resolved(spark).select(
+        "doc_id", F.md5("text").alias("h"))
+
+
 def _fuzzy_incr_oracle(n_perm: int = 16, bands: int = 4, k: int = 4) -> str:
     rows = n_perm // bands
     sig_cols = ",\n           ".join(
@@ -4715,7 +4763,7 @@ DRIVER_WINDOW: list[str] = [
     "bloom_fp_calibration",      # r04: north_rule seen-set FP calibration
     "schema_evolution_read",     # r04: catalog add-column contract
     "fuzzy_incremental_dedup",   # r04: cross-corpus banded-LSH gate
-    "custkey_intersect_except",
+    "merge_on_read_resolve",     # r04: MOR upserts (write-optimized path)
     "top_tokens_global",
     "range_join_windows",        # r03: bucketed interval join
     "csv_source_roundtrip",
