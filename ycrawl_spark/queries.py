@@ -4718,6 +4718,316 @@ def crossmodal_dup_audit(spark, sf_dir):
     return img_rep.unionByName(txt_rep)
 
 
+def _host_link_edges(spark, sf_dir, n_hosts: int = 60):
+    """Deterministic host-level link digraph derived from orders:
+    (o_custkey % H) → (o_orderkey % H), distinct, loop-free — the
+    host-graph shape a crawler accumulates from extracted links
+    (src host → dst host), identical arithmetic in both engines."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            (F.col("o_custkey") % n_hosts).alias("src"),
+            (F.col("o_orderkey") % n_hosts).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+_KATZ_EDGES = """
+    e AS (SELECT DISTINCT o_custkey % 60 AS src, o_orderkey % 60 AS dst
+          FROM orders WHERE o_custkey % 60 <> o_orderkey % 60),
+    n AS (SELECT src AS host FROM e UNION SELECT dst FROM e)
+"""
+
+
+@query(
+    "link_katz_priority",
+    f"""
+    WITH {_KATZ_EDGES},
+    w0 AS (SELECT host, CAST(1 AS BIGINT) AS w FROM n),
+    w1 AS (SELECT n.host, 1 + COALESCE(SUM(p.w), 0) AS w
+           FROM n LEFT JOIN e ON e.dst = n.host
+                  LEFT JOIN w0 p ON p.host = e.src
+           GROUP BY n.host),
+    w2 AS (SELECT n.host, 1 + COALESCE(SUM(p.w), 0) AS w
+           FROM n LEFT JOIN e ON e.dst = n.host
+                  LEFT JOIN w1 p ON p.host = e.src
+           GROUP BY n.host),
+    w3 AS (SELECT n.host, 1 + COALESCE(SUM(p.w), 0) AS w
+           FROM n LEFT JOIN e ON e.dst = n.host
+                  LEFT JOIN w2 p ON p.host = e.src
+           GROUP BY n.host)
+    SELECT host, CAST(w AS BIGINT) AS katz3 FROM w3
+    """,
+)
+def link_katz_priority(spark, sf_dir):
+    """Link-graph frontier prioritization — the crawl-ordering signal a
+    frontier scheduler feeds its priority column (north_rule: "priority
+    queue ... ordered by priority, depth, discovery-time"; reference
+    orders its frontier by static config only, gen.py:21-34 — link
+    authority is the scale-path upgrade). Katz-style truncated path
+    count: w0 = 1, w_{k+1}(h) = 1 + Σ_{(s→h)∈E} w_k(s), i.e. the
+    number of in-link paths of length ≤ k (attenuation 1) — PURE
+    INTEGER power iteration, so unlike float PageRank the result is
+    bit-identical on any partitioning/cluster shape. Each round is one
+    equi-join edges⋈weights on src + one groupBy(dst) sum (map-side
+    partial agg) + one right join back to the node set — O(k) shuffles
+    total, no driver-side graph state; the weight frame is
+    localCheckpoint-cut per round so plans stay bounded exactly like
+    graph.connected_components. Oracle: the 3-round recurrence unrolled
+    as chained CTEs."""
+    edges = _host_link_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    w = nodes.select("host", F.lit(1).cast("long").alias("w"))
+    for _ in range(3):
+        contrib = (
+            edges.join(w, edges.src == w.host)
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("w").alias("in_w"))
+        )
+        w = (
+            nodes.join(contrib, "host", "left")
+            .select(
+                "host",
+                (F.lit(1) + F.coalesce("in_w", F.lit(0)))
+                .cast("long").alias("w"))
+            .localCheckpoint(eager=False)
+        )
+    return w.select("host", F.col("w").alias("katz3"))
+
+
+@query(
+    "frontier_bfs_depth",
+    f"""
+    WITH RECURSIVE {_KATZ_EDGES},
+    reach(host, d) AS (
+      SELECT host, 0 FROM n WHERE host % 10 = 0
+      UNION
+      SELECT e.dst, reach.d + 1
+      FROM reach JOIN e ON e.src = reach.host
+      WHERE reach.d < 4)
+    SELECT host, CAST(MIN(d) AS INT) AS depth FROM reach GROUP BY host
+    """,
+)
+def frontier_bfs_depth(spark, sf_dir):
+    """Crawl-depth labeling: minimum link distance from the seed set
+    (hosts ≡ 0 mod 10) over the host digraph, capped at depth 4 — the
+    `depth` column of the north_rule's (priority, depth,
+    discovery-time) frontier ordering, and the standard crawl-budget
+    policy input (stop expanding past depth D). BFS, not CC: distinct
+    from graph.connected_components (which ignores distance), this is
+    the SSSP/unit-weight iterative shape — per round the CURRENT
+    frontier joins the edge set once and a groupBy-min folds newly
+    reached hosts in; 4 bounded rounds = 4 shuffles, driver never sees
+    a node list, lineage cut per round. Oracle: recursive CTE over the
+    same edge derivation, MIN(d) per reached host."""
+    edges = _host_link_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    depth = nodes.filter(F.col("host") % 10 == 0).select(
+        "host", F.lit(0).cast("int").alias("depth"))
+    for _ in range(4):
+        expanded = (
+            depth.join(edges, depth.host == edges.src)
+            .select(F.col("dst").alias("host"),
+                    (F.col("depth") + 1).alias("depth"))
+        )
+        depth = (
+            depth.union(expanded)
+            .groupBy("host")
+            .agg(F.min("depth").cast("int").alias("depth"))
+            .localCheckpoint(eager=False)
+        )
+    return depth.select("host", "depth")
+
+
+@query(
+    "inverted_postings_topk",
+    """
+    WITH tf AS (
+      SELECT t.token, d.doc_id, COUNT(*) AS tf
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(token)
+      WHERE t.token <> ''
+      GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS total_tf
+           FROM tf GROUP BY token),
+    rk AS (SELECT token, doc_id, tf,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY token
+                       ORDER BY tf DESC, doc_id ASC) AS INT) AS rk
+           FROM tf)
+    SELECT r.token, r.doc_id, r.tf, r.rk, f.n_docs, f.total_tf
+    FROM rk r JOIN df f ON r.token = f.token
+    WHERE r.rk <= 3
+    """,
+)
+def inverted_postings_topk(spark, sf_dir):
+    """Inverted-index construction with impact-ordered posting caps —
+    the retrieval-side structure a crawled corpus feeds (BM25/search,
+    contamination lookup): token → top-3 (doc, tf) postings by impact
+    plus the token's document frequency. The at-scale shape: ONE
+    tokenize scan → groupBy(token, doc) count (map-side partial agg) →
+    per-token window top-k — the cap bounds every posting list BEFORE
+    any collection (hot tokens like stopwords produce 3 rows, never an
+    O(corpus) list; full lists are the cap_hot_buckets anti-pattern
+    this avoids), and df/total_tf ride the same tf frame as a second
+    partial agg, never a rescan. Output stays exploded rows (token,
+    doc_id, tf, rk, n_docs, total_tf) — hashable by the driver gate and
+    directly writable as a posting shard. Reference parity: the
+    token-level analytics family (SURVEY §2.8 q_lumo_distinct /
+    top-token reporting); oracle = the same tf/df/window SQL."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df/total_tf as unbounded windows over the SAME token partitioning
+    # the top-k window needs: one tokenize scan, one shuffle — a second
+    # groupBy(token) branch would rescan + re-explode the corpus.
+    wt = W.partitionBy("token")
+    w = wt.orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        tf.withColumn("n_docs", F.count("*").over(wt))
+        .withColumn("total_tf", F.sum("tf").over(wt).cast("long"))
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("token", "doc_id", "tf", "rk", "n_docs", "total_tf")
+    )
+
+
+@query(
+    "semantic_dedup_cells",
+    """
+    WITH u AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding::DOUBLE[], e -> e * 0.9 + 0.05)
+      FROM embeddings WHERE vec_id < 30),
+    x AS (SELECT vec_id, i - 1 AS dim,
+                 CAST(ROUND(emb[i] * 1000000) AS BIGINT) AS v6
+          FROM u, unnest(generate_series(1, len(emb))) AS t(i)),
+    cid AS (SELECT vec_id AS cid FROM u
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 32),
+    c AS (SELECT cid.cid, x.dim, x.v6 AS c6
+          FROM x JOIN cid ON x.vec_id = cid.cid),
+    d AS (SELECT x.vec_id, c.cid, SUM((x.v6 - c.c6) * (x.v6 - c.c6)) AS d2
+          FROM x JOIN c ON x.dim = c.dim GROUP BY 1, 2),
+    cell AS (SELECT vec_id, cid AS cell_id FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY d2 ASC, cid ASC) AS rk FROM d)
+             WHERE rk = 1),
+    xa AS (SELECT cl.cell_id, x.vec_id, x.dim, x.v6
+           FROM x JOIN cell cl ON x.vec_id = cl.vec_id),
+    pr AS (SELECT a.cell_id, a.vec_id AS va, b.vec_id AS vb,
+                  SUM(a.v6 * b.v6) AS dot6,
+                  SUM(a.v6 * a.v6) AS na, SUM(b.v6 * b.v6) AS nb
+           FROM xa a JOIN xa b
+             ON a.cell_id = b.cell_id AND a.dim = b.dim
+            AND a.vec_id < b.vec_id
+           GROUP BY 1, 2, 3),
+    dropped AS (SELECT DISTINCT vb AS vec_id FROM pr
+                WHERE dot6 > 0 AND dot6 * dot6 * 100 >= 81 * na * nb)
+    SELECT cl.vec_id, cl.cell_id,
+           CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM cell cl LEFT JOIN dropped dr ON cl.vec_id = dr.vec_id
+    """,
+)
+def semantic_dedup_cells(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): route
+    every embedding to its nearest coarse cell, compare pairs ONLY
+    within a cell, drop any vector whose cosine to a smaller-id
+    cell-mate clears 0.9. The published scale recipe — n_cells grows
+    with the corpus so |cell| stays bounded and the within-cell
+    quadratic never sees the corpus square; cross-cell pairs are never
+    generated. Exactness: md5-hash-min centroid sample (the
+    ivf_md5_ann_topk quantizer), 1e-6-quantized BIGINT components, and
+    the cosine threshold as a cross-multiplied integer predicate
+    (dot² · 100 ≥ 81 · |a|²·|b|², decimal(38) — float division never
+    happens, so any cluster shape bit-agrees). Corpus = embeddings ∪ a
+    deterministic perturbed copy of 30 rows (x → 0.9x + 0.05, cos ≈
+    0.99) — the synthetic table has no natural pair above cos 0.52
+    (cosine_dup_pairs note), so the gate would be vacuous unplanted.
+    dot/|a|²/|b|² all ride ONE (cell, dim) pair join — no separate
+    norm frame. Oracle: the identical CTE chain over HUGEINTs."""
+    base = load(spark, sf_dir, "embeddings")
+    as_d = F.transform("embedding", lambda e: e.cast("double"))
+    u = base.select("vec_id", as_d.alias("emb")).unionByName(
+        base.filter(F.col("vec_id") < 30).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda e: e.cast("double") * 0.9 + 0.05).alias("emb"))
+    )
+    x = u.select(
+        "vec_id", F.posexplode("emb").alias("dim", "v")
+    ).select(
+        "vec_id", "dim",
+        F.round(F.col("v") * 1_000_000).cast("long").alias("v6"))
+    cent_ids = (
+        u.select(F.col("vec_id").alias("cid"))
+        .orderBy(F.md5(F.col("cid").cast("string")))
+        .limit(32)
+    )
+    cents = x.join(F.broadcast(cent_ids), x.vec_id == cent_ids.cid).select(
+        "cid", "dim", F.col("v6").alias("c6"))
+    d = (
+        x.join(F.broadcast(cents), "dim")
+        .withColumn("_dq", (F.col("v6") - F.col("c6")) * (F.col("v6") - F.col("c6")))
+        .groupBy("vec_id", "cid")
+        .agg(F.sum("_dq").alias("d2"))
+    )
+    w_cell = W.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    cell = (
+        d.withColumn("rk", F.row_number().over(w_cell))
+        .filter("rk = 1")
+        .select("vec_id", F.col("cid").alias("cell_id"))
+    )
+    # assigned component rows, reused by both pair sides — checkpoint so
+    # the quantize+route subtree is computed once, not once per alias
+    xa = (
+        x.join(cell, "vec_id")
+        .select("cell_id", "vec_id", "dim", "v6")
+        .localCheckpoint(eager=False)
+    )
+    a, b = xa.alias("a"), xa.alias("b")
+    pr = (
+        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
+               & (F.col("a.dim") == F.col("b.dim"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.cell_id").alias("cell_id"),
+                 F.col("a.vec_id").alias("va"),
+                 F.col("b.vec_id").alias("vb"))
+        .agg(F.sum(F.col("a.v6") * F.col("b.v6")).alias("dot6"),
+             F.sum(F.col("a.v6") * F.col("a.v6")).alias("na"),
+             F.sum(F.col("b.v6") * F.col("b.v6")).alias("nb"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dropped = (
+        pr.filter((F.col("dot6") > 0)
+                  & (dec("dot6") * dec("dot6") * 100 >= dec("na") * dec("nb") * 81))
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        cell.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cell_id",
+            F.when(F.col("_drop").isNull(), 1).otherwise(0)
+            .cast("int").alias("kept"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
@@ -4764,12 +5074,12 @@ DRIVER_WINDOW: list[str] = [
     "schema_evolution_read",     # r04: catalog add-column contract
     "fuzzy_incremental_dedup",   # r04: cross-corpus banded-LSH gate
     "merge_on_read_resolve",     # r04: MOR upserts (write-optimized path)
-    "top_tokens_global",
+    "link_katz_priority",        # r04: integer Katz frontier priority
     "range_join_windows",        # r03: bucketed interval join
-    "csv_source_roundtrip",
-    "sliding_chunks_rag",
+    "frontier_bfs_depth",        # r04: BFS crawl-depth labeling
+    "inverted_postings_topk",    # r04: capped impact-ordered postings
     "dataset_split_assign",
-    "group_sample_topk",
+    "semantic_dedup_cells",      # r04: SemDeDup cell-bucketed dedup
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "label_centroid_stats",
