@@ -5028,6 +5028,71 @@ def semantic_dedup_cells(spark, sf_dir):
     )
 
 
+@query(
+    "boilerplate_span_removal",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sp AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS fp
+           FROM tok, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS g(i)),
+    hot AS (SELECT fp FROM sp GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (SELECT DISTINCT s.doc_id, s.i + o.o AS pos
+            FROM sp s JOIN hot h ON s.fp = h.fp,
+                 unnest(generate_series(0, 7)) AS o(o)),
+    rm AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(len(tk.t) - COALESCE(rm.n_removed, 0) AS BIGINT) AS n_kept
+    FROM tok tk LEFT JOIN rm ON tk.doc_id = rm.doc_id
+    """,
+)
+def boilerplate_span_removal(spark, sf_dir):
+    """Boilerplate removal accounting — the REWRITE step of span-level
+    exact dedup (Lee et al. ExactSubstr; CCNet/RefinedWeb boilerplate
+    strip): a token position is removed iff ANY 8-token span covering
+    it also occurs in another document, so overlapping shared spans
+    coalesce into covered RANGES exactly like the published algorithm
+    (duplicate_span_stats counts shared spans; this computes what a
+    rewrite would actually delete per doc). Shape: span fingerprints
+    are md5 (32-byte shuffle keys, never text), the cross-doc span
+    table is one groupBy, coverage is the span⋈hot join exploded to at
+    most 8 positions per hit then a distinct + per-doc count — linear
+    in corpus spans, no pair or doc×doc term anywhere; doc length rides
+    the original scan via a left join so zero-span short docs still
+    report (n_tokens, 0, n_tokens)."""
+    docs = load(spark, sf_dir, "documents")
+    spans = docs.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, greatest(size(split(text,' ')) - 7, 0)),"
+        " i -> struct(i AS i,"
+        " md5(array_join(slice(split(text,' '), i, 8), ' ')) AS fp))) AS s",
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.fp").alias("fp"))
+    hot = (
+        spans.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("fp")
+    )
+    rm = (
+        spans.join(hot, "fp")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + 7)).alias("pos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    return (
+        base.join(rm, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            (F.col("n_tokens") - F.coalesce("n_removed", F.lit(0)))
+            .cast("long").alias("n_kept"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
@@ -5080,7 +5145,7 @@ DRIVER_WINDOW: list[str] = [
     "inverted_postings_topk",    # r04: capped impact-ordered postings
     "dataset_split_assign",
     "semantic_dedup_cells",      # r04: SemDeDup cell-bucketed dedup
-    "funnel_view_click_purchase",
+    "boilerplate_span_removal",  # r04: ExactSubstr rewrite accounting
     "cohort_weekly_retention",
     "label_centroid_stats",
     "centroid_outliers",
