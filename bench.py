@@ -63,6 +63,9 @@ HEADLINE = [
     "export_shard_assignment", # prefix-sum shard routing
     "pq_md5_ann_topk",         # deterministic PQ/ADC ANN (r04)
     "merge_upsert_reconcile",  # catalog row-level MERGE (r04)
+    "semantic_dedup_cells",    # SemDeDup cell-bucketed dedup (r04)
+    "boilerplate_span_removal",# ExactSubstr rewrite accounting (r04)
+    "link_katz_priority",      # integer Katz frontier priority (r04)
 ]
 
 # Longitudinal anchor (VERDICT r03 #8): the suite grows every round

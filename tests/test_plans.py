@@ -343,3 +343,49 @@ def test_triangle_plan_has_no_cartesian(spark):
     plan = plan_of(spark, "dedup_graph_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_iterative_graph_ops_no_nested_loop(spark):
+    """Katz and BFS rounds are equi-join + partial-agg shapes; a theta
+    join anywhere would make every iteration quadratic in hosts."""
+    for name in ("link_katz_priority", "frontier_bfs_depth"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_inverted_postings_single_tokenize_scan(spark):
+    """df/total_tf ride the same token window partitioning as the
+    top-k rank — a second groupBy(token) branch would re-scan and
+    re-explode the whole corpus (the plan would show two parquet scans
+    of documents)."""
+    plan = plan_of(spark, "inverted_postings_topk", "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_centroids_broadcast_no_cartesian(spark):
+    """Cell routing must reach the exploded components as a broadcast
+    (the centroid table is 32×64 rows); the within-cell pair join is an
+    equi-join on (cell, dim) — never a nested loop."""
+    plan = plan_of(spark, "semantic_dedup_cells")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_removal_no_pair_blowup(spark):
+    """Coverage = span⋈hot-fingerprint equi-join exploded to ≤8
+    positions per hit; no doc×doc or span self-join term anywhere."""
+    plan = plan_of(spark, "boilerplate_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_is_gram_equi_join(spark):
+    """Decontamination joins train grams to eval grams on the gram key
+    (never doc×doc), and the verdict rejoin to the train scan is an
+    equi-join."""
+    plan = plan_of(spark, "decontaminate_train_split")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

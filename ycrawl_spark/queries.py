@@ -5093,6 +5093,63 @@ def boilerplate_span_removal(spark, sf_dir):
     )
 
 
+@query(
+    "decontaminate_train_split",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(4, len(toks) + 1),
+                        i -> array_to_string(toks[i-3:i], ' '))) AS gram
+          FROM t),
+    ov AS (SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+           FROM g c JOIN (SELECT * FROM g WHERE doc_id % 97 = 0) b USING (gram)
+           WHERE c.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+                    CAST(MAX(n_shared) AS BIGINT) AS max_shared
+             FROM ov WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+           CAST(COALESCE(h.max_shared, 0) AS BIGINT) AS max_shared,
+           CAST(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def decontaminate_train_split(spark, sf_dir):
+    """Benchmark decontamination — the REMOVAL step contamination_overlap
+    audits for: every train-split document sharing ANY word 4-gram with
+    the held-out eval set (doc_id % 97 == 0) is dropped from training,
+    the strict published rule (GPT-3 appendix C n-gram overlap; PaLM/
+    Llama eval decontamination). Output keeps every train doc with its
+    evidence (n_eval_hits = eval docs hit, max_shared = strongest
+    overlap, kept flag) so the drop is auditable, never silent. Shape:
+    rides textops.contamination_overlap's gram equi-join (never doc×doc;
+    hot-gram cap engages at corpus scale), then one per-doc aggregate +
+    one left join back to the train scan — a dropped-doc list alone
+    would hide the (usually ~0%) contamination rate this reports."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    ov = textops.contamination_overlap(docs, bench, n=4, bucket_cap=10_000)
+    hits = (
+        ov.filter(F.col("doc_id") % 97 != 0)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_eval_hits"),
+             F.max("n_shared").cast("long").alias("max_shared"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id")
+        .join(hits.withColumn("_hit", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_hits", F.lit(0)).cast("long").alias("n_eval_hits"),
+            F.coalesce("max_shared", F.lit(0)).cast("long").alias("max_shared"),
+            F.when(F.col("_hit").isNull(), 1).otherwise(0)
+            .cast("int").alias("kept"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
@@ -5146,7 +5203,7 @@ DRIVER_WINDOW: list[str] = [
     "dataset_split_assign",
     "semantic_dedup_cells",      # r04: SemDeDup cell-bucketed dedup
     "boilerplate_span_removal",  # r04: ExactSubstr rewrite accounting
-    "cohort_weekly_retention",
+    "decontaminate_train_split",  # r04: eval-overlap removal step
     "label_centroid_stats",
     "centroid_outliers",
     "nearest_class_mean",
