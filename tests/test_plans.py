@@ -382,6 +382,43 @@ def test_boilerplate_removal_no_pair_blowup(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pagerank_rounds_no_nested_loop(spark):
+    """Each PageRank round is an equi-join chain + partial agg, same
+    contract as Katz/BFS — a theta join would square every iteration."""
+    plan = plan_of(spark, "pagerank_host_priority")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anchor_text_single_tokenize_scan(spark):
+    """total_anchor_tokens rides the same dst window partitioning as
+    the top-k rank — a second groupBy(dst) branch would re-explode the
+    corpus (two parquet scans in the plan)."""
+    plan = plan_of(spark, "anchor_text_topk", "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_weights_broadcast_no_rescan(spark):
+    """The 16-row bucket-weight table must reach the per-doc counts as
+    a broadcast; the token-volume shuffle happens ONCE (the (doc,
+    bucket) partial agg) — dist/weights re-aggregate that small frame,
+    never the exploded corpus."""
+    plan = plan_of(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dispatch_utilization_window_partitioned_by_host(spark):
+    """The dispatch ranking window partitions by host — a global
+    (unpartitioned) window would serialize 10^10 URLs through one
+    task (WindowExec warns + single partition)."""
+    plan = plan_of(spark, "dispatch_budget_utilization")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_decontaminate_is_gram_equi_join(spark):
     """Decontamination joins train grams to eval grams on the gram key
     (never doc×doc), and the verdict rejoin to the train scan is an

@@ -5150,6 +5150,287 @@ def decontaminate_train_split(spark, sf_dir):
     )
 
 
+@query(
+    "pagerank_host_priority",
+    f"""
+    WITH {_KATZ_EDGES},
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM n),
+    r1 AS (SELECT n.host, CAST(150000 +
+                 (17 * COALESCE(CAST(SUM(p.r // d.outdeg) AS BIGINT), 0)) // 20
+                 AS BIGINT) AS r
+           FROM n LEFT JOIN e ON e.dst = n.host
+                  LEFT JOIN r0 p ON p.host = e.src
+                  LEFT JOIN deg d ON d.src = e.src
+           GROUP BY n.host),
+    r2 AS (SELECT n.host, CAST(150000 +
+                 (17 * COALESCE(CAST(SUM(p.r // d.outdeg) AS BIGINT), 0)) // 20
+                 AS BIGINT) AS r
+           FROM n LEFT JOIN e ON e.dst = n.host
+                  LEFT JOIN r1 p ON p.host = e.src
+                  LEFT JOIN deg d ON d.src = e.src
+           GROUP BY n.host),
+    r3 AS (SELECT n.host, CAST(150000 +
+                 (17 * COALESCE(CAST(SUM(p.r // d.outdeg) AS BIGINT), 0)) // 20
+                 AS BIGINT) AS r
+           FROM n LEFT JOIN e ON e.dst = n.host
+                  LEFT JOIN r2 p ON p.host = e.src
+                  LEFT JOIN deg d ON d.src = e.src
+           GROUP BY n.host)
+    SELECT host, r AS pr3 FROM r3
+    """,
+)
+def pagerank_host_priority(spark, sf_dir):
+    """PageRank frontier authority — the OTHER standard crawl-priority
+    signal next to link_katz_priority's path count: damped random-surfer
+    mass, 3 power-iteration rounds, d = 0.85. Float PageRank is
+    cluster-shape-dependent (sum order changes the low bits), so this is
+    the SCALED-INTEGER formulation: ranks carry a 10^6 scale, each round
+    is r'(h) = 150000 + (17 · Σ_{{s→h}} (r(s) div outdeg(s))) div 20 —
+    BIGINT floor division end to end, bit-identical on any partitioning
+    (the same determinism contract as the Katz op; dangling-mass
+    redistribution is intentionally dropped — it is a constant per
+    round and would add a driver-side scalar for no ordering change).
+    Per round: one edges⋈outdeg⋈ranks equi-join chain + one
+    groupBy(dst) partial-agg sum + one left join back to the node set;
+    lineage localCheckpoint-cut per round — O(k) shuffles, no
+    driver-side graph state. Reference parity: gen.py's static
+    config-order frontier, upgraded with the scale-path authority
+    ordering. Oracle: the recurrence unrolled as chained CTEs with the
+    identical integer arithmetic."""
+    edges = _host_link_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    r = nodes.select("host", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, "src")
+            .join(r.withColumnRenamed("host", "src"), "src")
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("c").alias("in_c"))
+        )
+        r = (
+            nodes.join(contrib, "host", "left")
+            .select(
+                "host",
+                (F.lit(150_000)
+                 + F.expr("(17 * coalesce(in_c, CAST(0 AS BIGINT))) div 20"))
+                .cast("long").alias("r"))
+            .localCheckpoint(eager=False)
+        )
+    return r.select("host", F.col("r").alias("pr3"))
+
+
+@query(
+    "dispatch_budget_utilization",
+    """
+    WITH f AS (SELECT o_orderkey AS url_id, o_custkey % 40 AS host,
+                      o_totalprice AS pri
+               FROM orders),
+    b AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS queued,
+                 CAST(5 + host % 7 AS BIGINT) AS budget
+          FROM f GROUP BY host),
+    r AS (SELECT host, url_id, pri,
+                 ROW_NUMBER() OVER (PARTITION BY host
+                      ORDER BY pri DESC, url_id ASC) AS rk
+          FROM f),
+    c AS (SELECT r.host, MAX(r.pri) AS deferred_top_pri
+          FROM r JOIN b ON r.host = b.host
+          WHERE r.rk > b.budget GROUP BY r.host)
+    SELECT b.host, b.queued, b.budget,
+           CAST(LEAST(b.queued, b.budget) AS BIGINT) AS selected,
+           CAST((100 * LEAST(b.queued, b.budget)) // b.budget AS BIGINT)
+             AS util_pct,
+           CAST(CASE WHEN b.queued > b.budget THEN 1 ELSE 0 END AS INT)
+             AS starved,
+           c.deferred_top_pri
+    FROM b LEFT JOIN c ON b.host = c.host
+    """,
+)
+def dispatch_budget_utilization(spark, sf_dir):
+    """Politeness-budget utilization audit — the per-epoch health report
+    of the paced dispatcher (scheduler.select_dispatch is e2e-tested but
+    its ranking had no oracle-backed twin until this): per host, queue
+    depth vs budget (5 + host % 7, the CrawlConfig.default_budget_per_host
+    shape), selected = min(queued, budget), exact integer utilization,
+    a starvation flag, and the top PRIORITY LEFT BEHIND (max price among
+    rank > budget rows — the signal that says raise this host's budget).
+    Shape: one scan → groupBy(host) queue stats + the SAME host-
+    partitioned window ranking the dispatcher runs (row_number over
+    priority DESC, key ASC — its exact tiebreak) → one join for the
+    deferred cut. At 10^10 URLs the window partitions by host (never
+    global) — identical to the production dispatch plan, so this query
+    doubles as its cost model. Reference parity: budget/pacing config,
+    vmController dispatch loop. Oracle: the same window SQL."""
+    o = load(spark, sf_dir, "orders")
+    f = o.select(
+        F.col("o_orderkey").alias("url_id"),
+        (F.col("o_custkey") % 40).alias("host"),
+        F.col("o_totalprice").alias("pri"))
+    b = f.groupBy("host").agg(
+        F.count("*").cast("long").alias("queued"),
+        (F.lit(5) + F.col("host") % 7).cast("long").alias("budget"))
+    r = f.withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("host").orderBy(F.desc("pri"), F.asc("url_id"))))
+    deferred = (
+        r.join(b.select("host", "budget"), "host")
+        .filter(F.col("rk") > F.col("budget"))
+        .groupBy("host")
+        .agg(F.max("pri").alias("deferred_top_pri"))
+    )
+    return (
+        b.join(deferred, "host", "left")
+        .select(
+            "host", "queued", "budget",
+            F.least("queued", "budget").cast("long").alias("selected"),
+            F.expr("(100 * least(queued, budget)) div budget")
+            .cast("long").alias("util_pct"),
+            F.when(F.col("queued") > F.col("budget"), 1).otherwise(0)
+            .cast("int").alias("starved"),
+            "deferred_top_pri")
+    )
+
+
+@query(
+    "anchor_text_topk",
+    """
+    WITH l AS (SELECT doc_id % 60 AS src, n_chars % 60 AS dst, text
+               FROM documents WHERE doc_id % 60 <> n_chars % 60),
+    t AS (SELECT dst, t.token
+          FROM l, unnest(string_split(text, ' ')) AS t(token)
+          WHERE t.token <> ''),
+    cnt AS (SELECT dst, token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2),
+    w AS (SELECT dst, token, n,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY dst
+                      ORDER BY n DESC, token ASC) AS INT) AS rk,
+                 CAST(SUM(n) OVER (PARTITION BY dst) AS BIGINT)
+                   AS total_anchor_tokens
+          FROM cnt)
+    SELECT dst AS host, token, n, rk, total_anchor_tokens
+    FROM w WHERE rk <= 3
+    """,
+)
+def anchor_text_topk(spark, sf_dir):
+    """Inbound anchor-text aggregation — what a web-scale indexer keeps
+    per TARGET: the top-3 anchor tokens pointing AT each host plus the
+    host's total inbound anchor mass (the relevance signal crawl
+    prioritizers and rankers both consume; Common Crawl publishes this
+    as its host-level anchor dataset). Link derivation is the
+    deterministic doc graph (doc_id % 60 → n_chars % 60, loops dropped);
+    anchors are the linking doc's tokens attributed to the TARGET. The
+    at-scale shape mirrors inverted_postings_topk on the dst side: ONE
+    tokenize scan → groupBy(dst, token) count (map-side partial agg
+    absorbs the token explosion) → per-dst window top-k, with the
+    host's total anchor mass riding the SAME dst partitioning as a
+    second window — never a rescan, and the per-host output is 3 rows
+    regardless of in-degree (a hot host like a CDN never materializes
+    its full anchor list). Oracle: the same tf/window SQL."""
+    docs = load(spark, sf_dir, "documents")
+    l = (
+        docs.select(
+            (F.col("doc_id") % 60).alias("src"),
+            (F.col("n_chars") % 60).alias("dst"),
+            "text")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cnt = (
+        l.select("dst", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("dst", "token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wd = W.partitionBy("dst")
+    return (
+        cnt.withColumn("rk", F.row_number().over(
+            wd.orderBy(F.desc("n"), F.asc("token"))).cast("int"))
+        .withColumn("total_anchor_tokens", F.sum("n").over(wd).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("dst").alias("host"), "token", "n", "rk",
+                "total_anchor_tokens")
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (SELECT doc_id, t.token
+                  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+                  WHERE t.token <> ''),
+    b AS (SELECT doc_id,
+                 (ascii(token) * 7 + length(token)) % 16 AS bucket
+          FROM toks),
+    dc AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+           FROM b GROUP BY 1, 2),
+    dist AS (SELECT bucket,
+                    CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN n ELSE 0 END)
+                         AS BIGINT) AS tb,
+                    CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n ELSE 0 END)
+                         AS BIGINT) AS cb
+             FROM dc GROUP BY bucket),
+    w AS (SELECT bucket,
+                 CAST((1000000 * (tb + 1)) // (cb + 1) AS BIGINT) AS lw
+          FROM dist)
+    SELECT dc.doc_id,
+           CAST(SUM(dc.n * w.lw) AS BIGINT) AS importance_w,
+           CAST(SUM(dc.n) AS BIGINT) AS n_tokens
+    FROM dc JOIN w USING (bucket)
+    WHERE dc.doc_id % 7 <> 0
+    GROUP BY dc.doc_id
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-corpus document by how target-like its hashed
+    feature distribution is. Features are hashed token buckets
+    ((ascii·7 + len) mod 16 — identical arithmetic in both engines);
+    the target split is doc_id ≡ 0 (mod 7), the rest is the raw pool.
+    Published DSIR sums log-likelihood ratios; floating log is
+    cluster-shape-dependent under commutative SUM, so this is the
+    scaled-integer RATIO form: per-bucket weight lw = (10^6 ·
+    (target_count+1)) div (corpus_count+1) (add-one smoothed), per-doc
+    score = Σ_buckets n_b · lw_b — BIGINT end to end, bit-identical on
+    any partitioning. The at-scale shape: ONE tokenize scan →
+    groupBy(doc, bucket) partial-agg counts (the only token-volume
+    shuffle), localCheckpoint-cut and reused THREE ways — the global
+    bucket distribution is a re-agg of that small (docs × 16) frame,
+    never a corpus rescan, and the 16-row weight table broadcasts back
+    onto it. Oracle: the same bucket/ratio SQL."""
+    docs = load(spark, sf_dir, "documents")
+    dc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            ((F.ascii("token") * 7 + F.length("token")) % 16).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    dist = dc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("doc_id") % 7 == 0, F.col("n")).otherwise(0))
+        .cast("long").alias("tb"),
+        F.sum(F.when(F.col("doc_id") % 7 != 0, F.col("n")).otherwise(0))
+        .cast("long").alias("cb"))
+    w = dist.select(
+        "bucket",
+        F.expr("(1000000 * (tb + 1)) div (cb + 1)").cast("long").alias("lw"))
+    return (
+        dc.filter(F.col("doc_id") % 7 != 0)
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("lw")).cast("long").alias("importance_w"),
+             F.sum("n").cast("long").alias("n_tokens"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
@@ -5207,10 +5488,10 @@ DRIVER_WINDOW: list[str] = [
     "label_centroid_stats",
     "centroid_outliers",
     "nearest_class_mean",
-    "salted_hot_key_agg",
-    "gap_fill_forward",
-    "numeric_profile",
-    "measure_correlation",
+    "pagerank_host_priority",       # r04: integer PageRank frontier authority
+    "dispatch_budget_utilization",  # r04: politeness-budget audit
+    "anchor_text_topk",             # r04: inbound anchor aggregation
+    "dsir_importance_weights",      # r04: DSIR data-selection scores
     "levenshtein_candidates",
     "simhash_md5_near_dups",
     "crossmodal_dup_audit",      # r03: joint-modality dedup audit (VERDICT #7)
