@@ -419,6 +419,43 @@ def test_dispatch_utilization_window_partitioned_by_host(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cms_sketch_broadcast_no_rescan(spark):
+    """The 1,024-cell sketch reaches the top-10 candidates as a
+    broadcast; the 4-row explosion happens on the token-frequency
+    frame, never the token stream — and no theta join anywhere."""
+    plan = plan_of(spark, "cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnowing_doc_partitioned_windows(spark):
+    """Both winnowing windows partition by doc_id — an unpartitioned
+    window would serialize the whole corpus gram stream through one
+    task."""
+    plan = plan_of(spark, "winnowing_fingerprints")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recrawl_priority_single_agg_scan(spark):
+    """Recrawl scheduling is ONE groupBy pass over events — no join,
+    no window, one scan."""
+    plan = plan_of(spark, "recrawl_priority", "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
+
+
+def test_phash_hist_no_self_join(spark):
+    """Pair generation rides bucket_pairs (collect_set + in-row suffix
+    expansion) — the plan must not contain a sketch self-join or any
+    nested loop."""
+    plan = plan_of(spark, "phash_hamming_hist")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_decontaminate_is_gram_equi_join(spark):
     """Decontamination joins train grams to eval grams on the gram key
     (never doc×doc), and the verdict rejoin to the train scan is an

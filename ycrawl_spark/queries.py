@@ -5431,6 +5431,271 @@ def dsir_importance_weights(spark, sf_dir):
     )
 
 
+_CMS_HASH = "CAST(({h}) % 256 AS BIGINT)"
+
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+    WITH tok AS (SELECT t.token FROM documents,
+                 unnest(string_split(text, ' ')) AS t(token)
+                 WHERE t.token <> ''),
+    tf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY token),
+    cells AS (SELECT d,
+                     {_CMS_HASH.format(h=_md5_hex48("concat(token, '#', CAST(d AS VARCHAR))"))} AS h,
+                     CAST(SUM(n) AS BIGINT) AS cell_n
+              FROM tf, unnest([0, 1, 2, 3]) AS dd(d)
+              GROUP BY 1, 2),
+    top10 AS (SELECT token, n FROM tf ORDER BY n DESC, token ASC LIMIT 10),
+    est AS (SELECT t.token, MIN(c.cell_n) AS cms_est
+            FROM top10 t, unnest([0, 1, 2, 3]) AS dd(d)
+            JOIN cells c ON c.d = dd.d
+             AND c.h = {_CMS_HASH.format(h=_md5_hex48("concat(t.token, '#', CAST(dd.d AS VARCHAR))"))}
+            GROUP BY t.token)
+    SELECT t.token, t.n AS exact_n,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           CAST(e.cms_est - t.n AS BIGINT) AS overcount
+    FROM top10 t JOIN est e ON t.token = e.token
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    the streaming-friendly frequency sketch a crawl pipeline keeps when
+    the exact token/host histogram is too wide to materialize: depth 4
+    × width 256 counters from the shared 48-bit md5 arithmetic, CMS
+    estimate = min over the 4 rows, always ≥ exact (one-sided). This
+    query builds the sketch AND audits it against the true top-10 so
+    the overcount — the quantity that sizes the width you actually need
+    — is driver value-gated. The at-scale shape: ONE tokenize scan →
+    groupBy(token) partial-agg counts; the 4-row explosion happens on
+    the token-FREQUENCY frame (|vocab| rows, localCheckpoint-cut), not
+    the token stream, and the 1,024-cell sketch broadcasts back onto
+    the candidates. Integer end to end. Oracle: the same sketch
+    arithmetic as chained CTEs."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    fan = tf.select(
+        "token", "n",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("d"))
+    h = F.expr(_CMS_HASH.format(
+        h=_md5_hex48("concat(token, '#', CAST(d AS STRING))")))
+    cells = (
+        fan.withColumn("h", h)
+        .groupBy("d", "h")
+        .agg(F.sum("n").cast("long").alias("cell_n"))
+    )
+    top10 = tf.orderBy(F.desc("n"), F.asc("token")).limit(10)
+    est = (
+        top10.select(
+            "token", "n",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("d"))
+        .withColumn("h", h)
+        .join(F.broadcast(cells), ["d", "h"])
+        .groupBy("token", "n")
+        .agg(F.min("cell_n").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "token", F.col("n").alias("exact_n"), "cms_est",
+        (F.col("cms_est") - F.col("n")).cast("long").alias("overcount"))
+
+
+@query(
+    "winnowing_fingerprints",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (SELECT doc_id, i AS pos, array_to_string(t[i:i+3], ' ') AS gram
+          FROM tok, unnest(generate_series(1, greatest(len(t) - 3, 0))) AS s(i)),
+    h AS (SELECT doc_id, pos,
+                 (({_md5_hex48("gram")}) % 8796093022208) * 100000 + pos
+                   AS combined,
+                 CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_grams
+          FROM g),
+    wm AS (SELECT doc_id, n_grams,
+                  MIN(combined) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+           FROM h
+           WHERE pos <= n_grams - 4),
+    pick AS (SELECT DISTINCT doc_id, n_grams, sel FROM wm)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_grams - 4 AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST((1000 * COUNT(*)) // (n_grams - 4) AS BIGINT) AS density_pm
+    FROM pick GROUP BY doc_id, n_grams
+    """,
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm) — the guaranteed-coverage sampling of
+    document fingerprints every scalable plagiarism/near-dup index is
+    built on: hash every 4-token gram, slide a w=5 window over the
+    hash sequence, keep each window's minimum; any shared substring of
+    length ≥ w+k−1 is then guaranteed to share a selected fingerprint,
+    while storage drops to ~2/(w+1) of the gram count. Determinism:
+    gram hashes are the shared 48-bit md5 arithmetic reduced mod 2^43
+    and packed as hash·10^5 + pos (BIGINT, no collision with pos <
+    10^5 — a per-doc length cap that holds by construction at any
+    corpus scale since grams are PER-DOC), so the window argmin and its
+    position tiebreak (smallest pos on equal hashes — repeated grams)
+    are one integer MIN. Per-doc output: gram/window counts, selected
+    count, density in permille (integer div). At scale everything is
+    doc-partitioned windows — no shuffle wider than the doc's own
+    grams, no cross-doc state. Oracle: the same windowed MIN SQL."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.selectExpr(
+        "doc_id",
+        "posexplode(CASE WHEN size(split(text,' ')) >= 4 THEN"
+        " transform(sequence(1, size(split(text,' ')) - 3),"
+        " i -> array_join(slice(split(text,' '), i, 4), ' '))"
+        " ELSE array() END) AS (p0, gram)",
+    ).selectExpr("doc_id", "p0 + 1 AS pos", "gram")
+    h = g.select(
+        "doc_id", "pos",
+        (F.expr(f"({_md5_hex48('gram')}) % 8796093022208") * 100000
+         + F.col("pos")).alias("combined"),
+        F.count("*").over(W.partitionBy("doc_id")).cast("long")
+        .alias("n_grams"))
+    wm = (
+        h.filter(F.col("pos") <= F.col("n_grams") - 4)
+        .select(
+            "doc_id", "n_grams",
+            F.min("combined").over(
+                W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4))
+            .alias("sel"))
+        .distinct()
+    )
+    return (
+        wm.groupBy("doc_id", "n_grams")
+        .agg(F.count("*").cast("long").alias("n_selected"))
+        .select(
+            "doc_id", "n_grams",
+            (F.col("n_grams") - 4).cast("long").alias("n_windows"),
+            "n_selected",
+            F.expr("(1000 * n_selected) div (n_grams - 4)")
+            .cast("long").alias("density_pm"))
+    )
+
+
+@query(
+    "recrawl_priority",
+    """
+    SELECT user_id AS url_id,
+           CAST(COUNT(*) AS BIGINT) AS n_visits,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_versions,
+           CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                + 1 AS BIGINT) AS age_days,
+           CAST(GREATEST(1,
+                (date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                 + 1) // COUNT(DISTINCT value)) AS BIGINT)
+             AS recrawl_interval_days,
+           CAST((1000 * COUNT(DISTINCT value)) //
+                (date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                 + 1) AS BIGINT) AS change_rate_pm
+    FROM events GROUP BY user_id
+    """,
+)
+def recrawl_priority(spark, sf_dir):
+    """Freshness-driven recrawl scheduling (Cho & Garcia-Molina 2003,
+    'Effective Page Refresh Policies for Web Crawlers'): estimate each
+    URL's change rate from its observation history and derive the
+    recrawl interval — the policy input that turns a one-shot frontier
+    into a CONTINUOUS crawl (reference analog: the daily re-poll loop,
+    vmController's jittered schedule, made change-rate-aware). Change
+    proxy = distinct observed payload versions over the observation
+    span; interval = age div versions (a uniform-change-rate estimator),
+    rate in permille — all BIGINT (calendar-day arithmetic via DATE
+    casts, identical in both engines). Shape: ONE scan → one
+    groupBy(url) with min/max/count partial aggs — no window, no join;
+    at 10^10 URLs this is the cheapest possible full-frontier pass and
+    partitions on exactly the key the frontier is bucketed by. Oracle:
+    the same aggregate SQL."""
+    ev = load(spark, sf_dir, "events")
+    age = (F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))) + 1)
+    nv = F.countDistinct("value")
+    return (
+        ev.groupBy(F.col("user_id").alias("url_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_visits"),
+            nv.cast("long").alias("n_versions"),
+            age.cast("long").alias("age_days"),
+            F.expr(
+                "greatest(CAST(1 AS BIGINT), CAST(datediff(to_date(max(ts)),"
+                " to_date(min(ts))) + 1 AS BIGINT)"
+                " div count(DISTINCT value))")
+            .cast("long").alias("recrawl_interval_days"),
+            F.expr(
+                "(1000 * count(DISTINCT value)) div"
+                " CAST(datediff(to_date(max(ts)), to_date(min(ts))) + 1"
+                " AS BIGINT)")
+            .cast("long").alias("change_rate_pm"))
+    )
+
+
+@query(
+    "phash_hamming_hist",
+    """
+    WITH bits AS (SELECT vec_id, i,
+                         CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END AS b
+                  FROM embeddings, unnest(generate_series(1, 16)) AS g(i)),
+    ph AS (SELECT vec_id,
+                  CAST(SUM(b * (CAST(1 AS BIGINT) << (i - 1))) AS BIGINT) AS ph
+           FROM bits GROUP BY vec_id),
+    bk AS (SELECT vec_id, ph, blk,
+                  (ph // (CAST(1 AS BIGINT) << (4 * blk))) % 16 AS bv
+           FROM ph, unnest([0, 1, 2, 3]) AS g(blk)),
+    pairs AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+                     a.ph AS pa, b.ph AS pb
+              FROM bk a JOIN bk b
+                ON a.blk = b.blk AND a.bv = b.bv AND a.vec_id < b.vec_id)
+    SELECT CAST(bit_count(xor(pa, pb)) AS INT) AS hamming,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def phash_hamming_hist(spark, sf_dir):
+    """Perceptual-hash Hamming-distance histogram over the LSH
+    candidate set — the calibration curve behind image_phash_near_dups'
+    threshold: before committing to 'hamming ≤ T means duplicate', a
+    production image-dedup pipeline plots the candidate-pair distance
+    distribution and looks for the bimodal valley. Hashes are 16 sign
+    bits of the embedding head (deterministic — a float's SIGN survives
+    any precision path identically in both engines); candidates pair
+    within 4-bit pigeonhole blocks (any pair with hamming ≤ 3 shares a
+    block — the same guaranteed-recall geometry as the simhash family),
+    generated via textops.bucket_pairs (one sketch scan, window-capped,
+    in-row expansion — never a self-join) and deduped across blocks.
+    bit_count(xor) is JVM-side / DuckDB-native. The histogram output is
+    O(17) rows regardless of corpus size. Oracle: explicit block
+    self-join + the same popcount."""
+    emb = load(spark, sf_dir, "embeddings")
+    ph = emb.select(
+        "vec_id",
+        F.expr(
+            "CAST(aggregate(transform(slice(embedding, 1, 16),"
+            " (e, i) -> CASE WHEN e > 0 THEN shiftleft(CAST(1 AS BIGINT), i)"
+            " ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)").alias("ph"))
+    bk = ph.select(
+        "vec_id", "ph",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("blk")
+    ).withColumn(
+        "bv", F.expr("(ph div shiftleft(CAST(1 AS BIGINT), 4 * blk)) % 16"))
+    pairs = textops.bucket_pairs(
+        bk, ["blk", "bv"], id_col="vec_id", payload_cols=("ph",)
+    ).select("vec_id_a", "vec_id_b", "ph_a", "ph_b").distinct()
+    return (
+        pairs.select(F.expr("bit_count(ph_a ^ ph_b)").cast("int")
+                     .alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
@@ -5485,14 +5750,14 @@ DRIVER_WINDOW: list[str] = [
     "semantic_dedup_cells",      # r04: SemDeDup cell-bucketed dedup
     "boilerplate_span_removal",  # r04: ExactSubstr rewrite accounting
     "decontaminate_train_split",  # r04: eval-overlap removal step
-    "label_centroid_stats",
-    "centroid_outliers",
-    "nearest_class_mean",
+    "cms_heavy_hitters",            # r04: count-min sketch audit
+    "winnowing_fingerprints",       # r04: MOSS fingerprint selection
+    "recrawl_priority",             # r04: freshness recrawl scheduling
     "pagerank_host_priority",       # r04: integer PageRank frontier authority
     "dispatch_budget_utilization",  # r04: politeness-budget audit
     "anchor_text_topk",             # r04: inbound anchor aggregation
     "dsir_importance_weights",      # r04: DSIR data-selection scores
-    "levenshtein_candidates",
+    "phash_hamming_hist",           # r04: phash threshold calibration
     "simhash_md5_near_dups",
     "crossmodal_dup_audit",      # r03: joint-modality dedup audit (VERDICT #7)
     "ivf_md5_ann_topk",          # r03: value-gated quantized ANN (VERDICT #8)
