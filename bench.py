@@ -111,7 +111,7 @@ def bench_queries(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
     return times
 
 
-def _bench_cfg(n_urls: int):
+def _bench_cfg(n_urls: int, discovery: bool = False):
     from ycrawl_spark.config import CrawlConfig
 
     # Fat epochs: politeness budget 512/host/epoch with hosts scaled to
@@ -119,11 +119,19 @@ def _bench_cfg(n_urls: int):
     # regime a 10^10-URL crawl actually runs in (millions of URLs per
     # coordination round), so per-epoch coordination cost is amortized
     # as it would be at scale, not magnified by a toy frontier.
-    return CrawlConfig(n_urls=n_urls, n_hosts=max(50, n_urls // 200),
-                       default_budget_per_host=512)
+    base = dict(n_urls=n_urls, n_hosts=max(50, n_urls // 200),
+                default_budget_per_host=512)
+    if discovery:
+        # Mid-crawl link discovery: seed a quarter of the id space and
+        # let ok fetches grow the frontier (depth/discovery-time become
+        # real dynamics) — measures the per-epoch discovery tax
+        # (children explode → anti-join vs entered keys → append).
+        return CrawlConfig(**base, n_seed_urls=n_urls // 4,
+                           discovery_fanout=3, discovery_max_depth=5)
+    return CrawlConfig(**base)
 
 
-def ensure_input(n_urls: int) -> str:
+def ensure_input(n_urls: int, discovery: bool = False) -> str:
     """Materialize the deterministic input (frontier + image table) ONCE
     into a cache dir and reuse it across reps and parallelism levels —
     it is the crawl's *input* (BASELINE input_hint), not work the
@@ -137,7 +145,8 @@ def ensure_input(n_urls: int) -> str:
     manifests embed absolute data paths, so the dir must be built at
     its final location."""
     base = os.environ.get("BENCH_INPUT_CACHE", tempfile.gettempdir())
-    d = os.path.join(base, f"ycrawl_bench_input_{n_urls}")
+    suffix = "_disc" if discovery else ""
+    d = os.path.join(base, f"ycrawl_bench_input_{n_urls}{suffix}")
     marker = os.path.join(d, "_READY")
     lock = d + ".lock"
     if os.path.exists(marker):
@@ -153,16 +162,22 @@ def ensure_input(n_urls: int) -> str:
             if os.path.exists(marker):
                 return d
             if not os.path.exists(lock):
-                return ensure_input(n_urls)
+                return ensure_input(n_urls, discovery)
             time.sleep(2)
         os.unlink(lock)
-        return ensure_input(n_urls)
+        return ensure_input(n_urls, discovery)
+
+    from pyspark.sql import SparkSession
 
     from ycrawl_spark import synth
     from ycrawl_spark.catalog import Catalog
     from ycrawl_spark.session import get_spark
 
-    cfg = _bench_cfg(n_urls)
+    cfg = _bench_cfg(n_urls, discovery)
+    # Reuse the caller's live session if there is one — get_spark's
+    # getOrCreate would return that same singleton, and stopping it
+    # here would kill the caller's SparkContext mid-bench.
+    own_session = SparkSession.getActiveSession() is None
     spark = get_spark(cores=32, shuffle_partitions=32, app_name="bench_setup")
     try:
         shutil.rmtree(d, ignore_errors=True)
@@ -174,36 +189,55 @@ def ensure_input(n_urls: int) -> str:
             f.write("ok")
         return d
     finally:
-        spark.stop()
+        if own_session:
+            spark.stop()
         if os.path.exists(lock):
             os.unlink(lock)
 
 
-def bench_crawl(spark, n_urls: int, input_dir: str | None = None) -> dict:
+def bench_crawl(spark, n_urls: int, input_dir: str | None = None,
+                discovery: bool = False) -> dict:
     """One full crawl to quiescence on a fresh synthetic frontier;
-    throughput = fetch attempts (fetched+validated rows) / wall sec."""
+    throughput = fetch attempts (fetched+validated rows) / wall sec.
+
+    ``discovery=True`` runs the mid-crawl link-discovery mode (seed =
+    n/4 of the id space, fanout 3): the frontier table is COPIED into
+    the workdir instead of symlinked because discovery APPENDS novel
+    rows to it — a symlink would mutate the shared input cache. The
+    copy is seed-frontier-sized (n/4 thin rows), far below the crawl's
+    own write volume, and new snapshots land in the workdir.
+    """
     from ycrawl_spark.catalog import Catalog
     from ycrawl_spark.pipeline import run_crawl
 
-    cfg = _bench_cfg(n_urls)
+    cfg = _bench_cfg(n_urls, discovery)
     workdir = tempfile.mkdtemp(prefix="ycrawl_bench_")
     try:
         if input_dir is None:
-            input_dir = ensure_input(n_urls)
-        for tbl in ("frontier", "images"):
-            os.symlink(os.path.join(input_dir, tbl),
-                       os.path.join(workdir, tbl))
+            input_dir = ensure_input(n_urls, discovery)
+        if discovery:
+            shutil.copytree(os.path.join(input_dir, "frontier"),
+                            os.path.join(workdir, "frontier"))
+        else:
+            os.symlink(os.path.join(input_dir, "frontier"),
+                       os.path.join(workdir, "frontier"))
+        os.symlink(os.path.join(input_dir, "images"),
+                   os.path.join(workdir, "images"))
         t0 = time.time()
         stats = run_crawl(spark, cfg, workdir, use_bloom=True)
         elapsed = time.time() - t0
         log = Catalog(workdir).table("fetch_log").read(spark)
         n_fetched = log.count() if log is not None else 0
-        return {
+        out = {
             "urls": n_fetched,
             "sec": round(elapsed, 3),
             "urls_per_sec": round(n_fetched / elapsed, 2),
             "epochs": len(stats),
         }
+        if discovery:
+            out["seed_urls"] = cfg.seed_urls
+            out["discovered"] = sum(s.n_discovered for s in stats)
+        return out
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -287,6 +321,12 @@ def main() -> None:
         draws = [bench_crawl(spark, args.n_urls) for _ in range(reps)]
         crawl = max(draws, key=lambda d: d["urls_per_sec"])
         crawl = dict(crawl, draws=[d["urls_per_sec"] for d in draws])
+        # Discovery-mode crawl (north_rule depth/discovery-time dynamics):
+        # one draw at a smaller frontier — reported separately, never
+        # mixed into the longitudinal seed-only headline number.
+        disc_urls = int(os.environ.get("BENCH_DISCOVERY_URLS", "1000000"))
+        crawl_disc = (bench_crawl(spark, disc_urls, discovery=True)
+                      if disc_urls else None)
         total = round(time.time() - t0, 3)
         print(json.dumps({
             "metric": "headline query suite + crawl pipeline wall time "
@@ -300,6 +340,7 @@ def main() -> None:
             "queries_total_full": round(sum(qtimes.values()), 3),
             "sf": sf,
             "crawl": crawl,
+            "crawl_discovery": crawl_disc,
             "cores": cores,
         }))
     finally:

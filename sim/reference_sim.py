@@ -18,7 +18,9 @@ from dataclasses import dataclass, field
 
 from ycrawl_spark.config import CrawlConfig, fail_roll
 from ycrawl_spark.hashing import xxh64_signed
-from ycrawl_spark.synth import frontier_row, politeness_pdf
+from ycrawl_spark.synth import (
+    child_ids, discovered_row, frontier_row, politeness_pdf,
+)
 
 
 @dataclass
@@ -30,7 +32,12 @@ class SimResult:
 
 
 def simulate(cfg: CrawlConfig) -> SimResult:
-    rows = [frontier_row(i, cfg) for i in range(cfg.n_urls)]
+    rows = [frontier_row(i, cfg) for i in range(cfg.seed_urls)]
+    # every key that ever ENTERED the frontier — seed rows included
+    # robots-blocked ones (the engine appends the whole seed build and
+    # filters robots at read), so a discovered child colliding with a
+    # blocked seed id is never re-derived
+    entered = {r["key"] for r in rows}
     rows = [r for r in rows if r["robots_ok"]]
     budgets = {
         r.canonical_host: int(r.max_per_epoch)
@@ -58,6 +65,7 @@ def simulate(cfg: CrawlConfig) -> SimResult:
         suffix = f":{cfg.shuffle_salt}:{epoch}"
         selected.sort(key=lambda r: (xxh64_signed(r["key"] + suffix), r["key"]))
         n_ok = n_err = 0
+        epoch_disc: dict[int, int] = {}  # child id → min(parent depth)+1
         for r in selected:
             key = r["key"]
             attempt = err_counts.get(key, 0) + 1
@@ -70,7 +78,27 @@ def simulate(cfg: CrawlConfig) -> SimResult:
             else:
                 res.done.add(key)
                 n_ok += 1
+                # link discovery: an ok fetch below the depth cap yields
+                # deterministic children (same pure function the engine
+                # explodes); min over this epoch's discovering parents
+                if cfg.discovery_fanout and r["depth"] < cfg.discovery_max_depth:
+                    for cid in child_ids(r["image_id"], cfg):
+                        d = r["depth"] + 1
+                        epoch_disc[cid] = min(epoch_disc.get(cid, d), d)
+        # novel children enter the frontier at epoch end (the engine
+        # appends them after the fetch commit, anti-joined against every
+        # key that ever entered)
+        n_disc = 0
+        for cid in sorted(epoch_disc):
+            row = discovered_row(cid, epoch_disc[cid], epoch, cfg)
+            if row["key"] in entered:
+                continue
+            entered.add(row["key"])
+            n_disc += 1
+            if row["robots_ok"]:
+                rows.append(row)
         res.per_epoch.append(
-            {"epoch": epoch, "selected": len(selected), "ok": n_ok, "err": n_err}
+            {"epoch": epoch, "selected": len(selected), "ok": n_ok,
+             "err": n_err, "discovered": n_disc}
         )
     return res

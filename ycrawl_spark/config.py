@@ -89,6 +89,25 @@ class CrawlConfig:
     # rewrite; measured cost at cadence 3 in BASELINE.md.
     log_compact_every: int = 50
 
+    # Mid-crawl link discovery (north_rule: the priority queue orders by
+    # "priority, depth, discovery-time" — with discovery on, depth and
+    # discovered_ts are real frontier DYNAMICS, not static seed
+    # metadata). A successful fetch deterministically yields
+    # 0..discovery_fanout child URLs (synth.child_ids — the sandbox's
+    # stand-in for href extraction; reference analog: the Coordinator
+    # folding freshly generated URL lists into the next tick's todo,
+    # Coordinator/main.py:34-61). Children enter the frontier at the
+    # END of the epoch that fetched their first parent, with
+    # depth = 1 + min(parent depth) over that epoch's discovering
+    # parents; parents at depth >= discovery_max_depth yield nothing.
+    # n_seed_urls caps the SEED frontier to a prefix of the id space so
+    # discovery has novel ids to find (the images table always covers
+    # all n_urls ids); None seeds the whole space. fanout 0 = off —
+    # the default, so seed-only crawls are byte-identical to before.
+    discovery_fanout: int = 0
+    discovery_max_depth: int = 3
+    n_seed_urls: int | None = None
+
     # Robots: hosts whose path prefix is disallowed are excluded at
     # frontier build (north_rule robots budget).
     robots_disallow: tuple[str, ...] = ("/private/",)
@@ -105,6 +124,15 @@ class CrawlConfig:
     @property
     def shuffle_salt(self) -> str:
         return f"shuffle-{self.seed}"
+
+    @property
+    def seed_urls(self) -> int:
+        """Rows in the SEED frontier (ids [0, seed_urls)); the rest of
+        the id space [seed_urls, n_urls) is reachable only by
+        discovery."""
+        return self.n_urls if self.n_seed_urls is None else min(
+            self.n_seed_urls, self.n_urls
+        )
 
 
 def fail_roll(key: str, attempt: int, cfg: CrawlConfig) -> bool:

@@ -128,7 +128,8 @@ FETCH_PARSE_SCHEMA = (
     # Frontier echo — populated ONLY on ERR rows (null for ok, which
     # parquet stores for free): a failed fetch re-enters the pending
     # frontier as a plain projection of the epoch delta, no join back
-    # to the frontier needed.
+    # to the frontier needed. Exception: ``depth`` is echoed on ok rows
+    # too — link discovery derives child depth from the delta.
     "url string, host_bucket int, priority int, depth int, "
     "discovered_ts timestamp, epoch_added int, "
     "w_ref int, h_ref int, fmt_ref string, caption_ref string, "
@@ -174,6 +175,10 @@ def fetch_parse_stage(selected: DataFrame, cfg: CrawlConfig, epoch: int,
     """
 
     _no_echo = (None,) * len(ECHO_COLS)
+    # ok rows echo ONLY depth (tiny int — link discovery derives child
+    # depth = parent depth + 1 from the epoch delta without a join back
+    # to the frontier); the wide echo stays ERR-only.
+    _depth_at = ECHO_COLS.index("depth")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -215,9 +220,13 @@ def fetch_parse_stage(selected: DataFrame, cfg: CrawlConfig, epoch: int,
                     )
                 else:
                     valid = None
+                d = echo[_depth_at][i]
+                ok_echo = (_no_echo[:_depth_at]
+                           + (None if d is None or pd.isna(d) else int(d),)
+                           + _no_echo[_depth_at + 1:])
                 out.append((key, image_id, host, epoch, attempt, srank, "ok", exe,
                             w, h, fmt, phash_v, min(p, 999.0), cap, valid)
-                           + _no_echo)
+                           + ok_echo)
             # Build as object first: ERR rows carry nulls in the parse
             # columns, and the default DataFrame constructor would coerce
             # mixed int/None columns to float64 — silently zeroing the

@@ -67,6 +67,7 @@ class EpochStats:
     n_selected: int
     n_ok: int
     n_err: int
+    n_discovered: int = 0
 
 
 def _agg_from_log(log: DataFrame) -> DataFrame:
@@ -197,9 +198,140 @@ def _fetch_commit(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     return stats, delta
 
 
+def _explode_children(parents: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """ok-parent rows (image_id, depth[, epoch]) → exploded child
+    candidates (id, depth=parent+1[, epoch]) via the shared pure link
+    function (synth.child_ids) — the same derivation the simulator
+    runs, so crawl-order parity extends to discovered URLs."""
+    has_epoch = "epoch" in parents.columns
+
+    def gen(batches):
+        for b in batches:
+            out = []
+            eps = b["epoch"].tolist() if has_epoch else None
+            for i, (img, d) in enumerate(zip(b["image_id"], b["depth"])):
+                for cid in synth.child_ids(img, cfg):
+                    out.append((int(cid), int(d) + 1,
+                                int(eps[i]) if eps is not None else 0))
+            yield pd.DataFrame(out, columns=["id", "depth", "epoch"])
+
+    return parents.mapInPandas(gen, schema="id long, depth int, epoch int")
+
+
+def _child_rows(kids: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """(id, depth, epoch_added) → full frontier-schema rows — the same
+    mapInPandas build path as the seed frontier (synth.frontier_df),
+    with the discovery dynamics overriding the static derivation."""
+    cols = ["key", "url", "canonical_host", "host_bucket", "priority",
+            "depth", "discovered_ts", "image_id", "epoch_added", "robots_ok"]
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                [synth.discovered_row(int(i), int(d), int(e), cfg)
+                 for i, d, e in zip(b["id"], b["depth"], b["epoch_added"])],
+                columns=cols,
+            )
+
+    return kids.mapInPandas(gen, schema=synth.FRONTIER_SCHEMA)
+
+
+def _novel_against_frontier(spark: SparkSession, cat: Catalog,
+                            cfg: CrawlConfig, rows: DataFrame,
+                            n_rows: int) -> DataFrame:
+    """Drop child rows whose key ever entered the frontier (seed rows,
+    earlier discoveries — robots-blocked ones included, so they are
+    never re-derived). Scale shape: children are delta-sized; the huge
+    side (every frontier key, 10^10 at target scale) is only SCANNED
+    with the read pruned to the key column, never shuffled — membership
+    resolves as two broadcast passes (hits = frontier ⋉ bc(children);
+    novel = children ▷ bc(hits)) while the children fit a broadcast,
+    falling back to a plain anti-join past that."""
+    entered = cat.table("frontier").read(spark).select("key")
+    if n_rows <= cfg.state_broadcast_max:
+        hits = entered.join(F.broadcast(rows.select("key")), "key", "inner")
+        return rows.join(F.broadcast(hits), "key", "left_anti")
+    return rows.join(entered, "key", "left_anti")
+
+
+def _discover(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
+              delta: DataFrame, images_ref: DataFrame, epoch: int,
+              ) -> tuple[DataFrame | None, int]:
+    """Mid-crawl link discovery over this epoch's delta: each ok fetch
+    below discovery_max_depth yields deterministic children; novel ones
+    (never in the frontier before) are appended to the frontier table
+    (provenance: epoch_added = this epoch) and returned as pending rows
+    with depth = 1 + min(parent depth among this epoch's discoverers).
+    Returns (pending_rows | None, n_novel)."""
+    parents = delta.filter(
+        (F.col("status") == "ok") & F.col("depth").isNotNull()
+        & (F.col("depth") < cfg.discovery_max_depth)
+    ).select("image_id", "depth")
+    kids = (
+        _explode_children(parents, cfg)
+        .groupBy("id").agg(F.min("depth").alias("depth"))
+        .withColumn("epoch_added", F.lit(int(epoch)))
+    )
+    rows = _child_rows(kids, cfg).localCheckpoint()
+    n_kids = rows.count()
+    if n_kids == 0:
+        return None, 0
+    novel = _novel_against_frontier(spark, cat, cfg, rows, n_kids)
+    novel = novel.localCheckpoint()
+    n_novel = novel.count()
+    if n_novel == 0:
+        return None, 0
+    cat.table("frontier").append(novel, epoch=epoch)
+    pending = (
+        novel.filter(F.col("robots_ok"))
+        .join(images_ref, "image_id", "left")
+        .select(*PENDING_COLS)
+        .withColumn("err_count", F.lit(0).cast("long"))
+    )
+    return pending, n_novel
+
+
+def rebuild_discovered_frontier(spark: SparkSession, cat: Catalog,
+                                cfg: CrawlConfig) -> int:
+    """Resume self-heal: discovered frontier rows are a PURE function of
+    the fetch_log (children of ok rows, first-discovering-epoch cohort,
+    min parent depth within it), so a crash in the window between the
+    fetch_log append and the frontier append loses nothing — re-derive
+    every discovered row from the log and append the ones the frontier
+    table is missing. Idempotent; returns the number healed."""
+    log = cat.table("fetch_log").read(spark)
+    if log is None or not cfg.discovery_fanout:
+        return 0
+    ok = log.filter(
+        (F.col("status") == "ok") & F.col("depth").isNotNull()
+        & (F.col("depth") < cfg.discovery_max_depth)
+    ).select("image_id", "depth", "epoch")
+    kids = _explode_children(ok, cfg)
+    first = kids.groupBy("id").agg(F.min("epoch").alias("e0"))
+    cohort = (
+        kids.join(first, "id")
+        .filter(F.col("epoch") == F.col("e0"))
+        .groupBy("id", "e0").agg(F.min("depth").alias("depth"))
+        .select("id", "depth", F.col("e0").alias("epoch_added"))
+    )
+    rows = _child_rows(cohort, cfg).localCheckpoint()
+    n_rows = rows.count()
+    if n_rows == 0:
+        return 0
+    missing = _novel_against_frontier(spark, cat, cfg, rows, n_rows)
+    missing = missing.localCheckpoint()
+    n_missing = missing.count()
+    if n_missing:
+        cat.table("frontier").append(
+            missing, epoch=cat.table("fetch_log").latest_epoch() or 0
+        )
+    return n_missing
+
+
 def run_epoch_incremental(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
                           pending: DataFrame, politeness: DataFrame,
                           epoch: int, hot_hosts: list[str] | None,
+                          images_ref: DataFrame | None = None,
                           ) -> tuple[EpochStats, DataFrame]:
     """One epoch, incremental frontier (see module docstring). ``pending``
     carries exact state: every row is live (not done, not forfeited)
@@ -222,7 +354,8 @@ def run_epoch_incremental(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
 
     # Next pending = budget losers (state unchanged) ∪ retryable errors
     # (err_count = the attempt that just failed; frontier columns come
-    # from the ERR echo — a projection, not a join).
+    # from the ERR echo — a projection, not a join) ∪ novel discovered
+    # children (when discovery is on).
     losers = ranked.filter(~sel_pred).select(*PENDING_COLS, "err_count")
     retry = (
         delta.filter(
@@ -232,7 +365,13 @@ def run_epoch_incremental(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         .withColumn("err_count", F.col("attempt").cast("long"))
         .select(*PENDING_COLS, "err_count")
     )
-    new_pending = losers.unionByName(retry).localCheckpoint()
+    new_pending = losers.unionByName(retry)
+    if cfg.discovery_fanout and images_ref is not None:
+        novel, n_novel = _discover(spark, cat, cfg, delta, images_ref, epoch)
+        if novel is not None:
+            new_pending = new_pending.unionByName(novel)
+            stats.n_discovered = n_novel
+    new_pending = new_pending.localCheckpoint()
     return stats, new_pending
 
 
@@ -243,6 +382,7 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
                          hot_hosts: list[str] | None,
                          bloom: seen_mod.Bloom | None,
                          shards: DataFrame | None = None,
+                         images_ref: DataFrame | None = None,
                          ) -> tuple[EpochStats, DataFrame | None, DataFrame,
                                     DataFrame | None]:
     """One epoch, reference mechanics: the (monotonically shrinking)
@@ -268,6 +408,15 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     stats, delta = _fetch_commit(spark, cat, cfg, selected, epoch, n_cand)
     if delta is None:
         return stats, seen_agg, new_pending, shards
+
+    if cfg.discovery_fanout and images_ref is not None:
+        novel, n_novel = _discover(spark, cat, cfg, delta, images_ref, epoch)
+        if novel is not None:
+            # Novel children join the pending set directly — they are
+            # unattempted by construction, so next epoch's seen-state
+            # re-test passes them through unchanged.
+            new_pending = new_pending.unionByName(novel).localCheckpoint()
+            stats.n_discovered = n_novel
 
     # Incremental seen-state compaction: old agg ∪ epoch delta.
     delta_agg = delta.groupBy("key").agg(
@@ -338,6 +487,11 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
             frontier_t.set_partition_spec(
                 [("bucket", cfg.n_buckets, "canonical_host")])
         frontier_t.append(synth.frontier_df(spark, cfg), epoch=0)
+    if resume and cfg.discovery_fanout:
+        # Heal the frontier before reading it: a crash between the
+        # fetch_log append and the frontier append would otherwise lose
+        # that epoch's discoveries (they are re-derivable from the log).
+        rebuild_discovered_frontier(spark, cat, cfg)
     frontier = frontier_t.read(spark).filter(F.col("robots_ok")).persist()
 
     images_t = cat.table("images")
@@ -438,21 +592,22 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
         if incremental:
             st, pending = run_epoch_incremental(
                 spark, cat, cfg, pending, politeness, epoch, hot_hosts,
+                images_ref,
             )
         else:
             st, seen_agg, pending, shards = run_epoch_regenerate(
                 spark, cat, cfg, pending, politeness, epoch, use_bloom,
-                seen_agg, n_seen_hint, hot_hosts, bloom, shards,
+                seen_agg, n_seen_hint, hot_hosts, bloom, shards, images_ref,
             )
         stats.append(st)
         if st.n_selected == 0:
             break
         n_seen_hint += st.n_selected
-        # next pending ≤ losers + retryable errors (exact in incremental
-        # mode, an upper bound in regenerate mode)
+        # next pending ≤ losers + retryable errors + discovered children
+        # (exact in incremental mode, an upper bound in regenerate mode)
         n_pending_est = max(
             st.n_candidates - st.n_selected + st.n_err, 1
-        )
+        ) + st.n_discovered
         # Durable state snapshot every K epochs (resume fast-path). In
         # incremental mode the loop never reads seen_agg, so no snapshot
         # jobs run here — fetch_log is the single source of truth and

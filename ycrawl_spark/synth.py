@@ -75,22 +75,53 @@ def frontier_row(i: int, cfg: CrawlConfig) -> dict:
 
 
 def frontier_pdf(cfg: CrawlConfig, start: int = 0, stop: int | None = None) -> pd.DataFrame:
-    stop = cfg.n_urls if stop is None else stop
+    stop = cfg.seed_urls if stop is None else stop
     return pd.DataFrame([frontier_row(i, cfg) for i in range(start, stop)])
 
 
 def frontier_df(spark, cfg: CrawlConfig):
-    """Distributed frontier build: range → mapInPandas (no driver rows)."""
+    """Distributed SEED-frontier build: range → mapInPandas (no driver
+    rows). Covers ids [0, cfg.seed_urls); with discovery enabled the
+    rest of the id space enters via ``discovered_rows_df``."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield pd.DataFrame([frontier_row(int(i), cfg) for i in b["id"]])
 
-    n_parts = max(8, cfg.n_urls // 50_000)
+    n_parts = max(8, cfg.seed_urls // 50_000)
     return (
-        spark.range(0, cfg.n_urls, numPartitions=n_parts)
+        spark.range(0, cfg.seed_urls, numPartitions=n_parts)
         .mapInPandas(gen, schema=FRONTIER_SCHEMA)
     )
+
+
+def child_ids(image_id: str, cfg: CrawlConfig) -> list[int]:
+    """Deterministic out-links of a successfully fetched page — the
+    sandbox's href extraction (no network: link structure is a pure
+    hash function, reproducible by engine and simulator alike).
+    0..discovery_fanout distinct child ids over the FULL id space
+    [0, n_urls); sorted for a stable iteration order."""
+    if not cfg.discovery_fanout:
+        return []
+    k = xxh64_str(f"links:{image_id}:{cfg.seed}") % (cfg.discovery_fanout + 1)
+    return sorted({
+        xxh64_str(f"link:{image_id}:{j}:{cfg.seed}") % cfg.n_urls
+        for j in range(k)
+    })
+
+
+def discovered_row(i: int, depth: int, epoch: int, cfg: CrawlConfig) -> dict:
+    """Frontier row for a DISCOVERED url: same pure per-id derivation as
+    a seed row (url/host/priority/robots depend only on the id) except
+    the crawl dynamics — depth comes from the discovering parent
+    (1 + min parent depth in the first discovering epoch),
+    discovered_ts sits past the whole seed range (children are found
+    later than any seed), and epoch_added records provenance."""
+    row = frontier_row(i, cfg)
+    row["depth"] = int(depth)
+    row["discovered_ts"] = pd.Timestamp(BASE_TS + cfg.n_urls + i, unit="s")
+    row["epoch_added"] = int(epoch)
+    return row
 
 
 def images_pdf(cfg: CrawlConfig, start: int = 0, stop: int | None = None) -> pd.DataFrame:
