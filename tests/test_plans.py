@@ -463,3 +463,28 @@ def test_decontaminate_is_gram_equi_join(spark):
     plan = plan_of(spark, "decontaminate_train_split")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_canonicalize_join_free_single_scan(spark):
+    """URL canonicalization is pure in-row string work + ONE hash
+    aggregate on the canonical key: no joins of any kind, a single
+    parquet scan pruned to doc_id, and no Python stages."""
+    plan = plan_of(spark, "url_canonicalize_dedup", "simple")
+    for op in ("Join", "CartesianProduct", "ArrowEvalPython",
+               "BatchEvalPython", "MapInPandas"):
+        assert op not in plan
+    assert plan.count("Scan parquet") == 1
+    read_schema = plan_of(spark, "url_canonicalize_dedup").split(
+        "ReadSchema")[1][:200]
+    assert "doc_id" in read_schema
+    assert "text" not in read_schema  # 200-char docs never leave the scan
+
+
+def test_redirect_resolve_no_nested_loop(spark):
+    """Pointer doubling is a chain of equi-joins (hash-joinable);
+    a nested-loop or cartesian anywhere means the ptr equality was
+    lost. The terminal-flag rejoin must broadcast (tiny dim)."""
+    plan = plan_of(spark, "redirect_chain_resolve")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -5696,6 +5696,230 @@ def phash_hamming_hist(spark, sf_dir):
     )
 
 
+@query(
+    "url_canonicalize_dedup",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             CAST(doc_id // 4 AS BIGINT) AS page,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+             (CASE WHEN substring(h, 1, 1) IN ('1','3','5','7','9','b','d','f')
+                   THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN substring(h, 2, 1) IN ('1','3','5','7','9','b','d','f')
+                      THEN upper('h' || CAST(page % 20 AS VARCHAR) || '.example.com')
+                      ELSE 'h' || CAST(page % 20 AS VARCHAR) || '.example.com' END)
+             || (CASE WHEN substring(h, 3, 1) IN ('1','3','5','7','9','b','d','f')
+                      THEN ':443' ELSE '' END)
+             || '/p/' || CAST(page AS VARCHAR)
+             || (CASE WHEN substring(h, 4, 1) IN ('1','3','5','7','9','b','d','f')
+                      THEN '/' ELSE '' END)
+             || '?id=' || CAST(page AS VARCHAR)
+             || (CASE WHEN substring(h, 5, 1) IN ('1','3','5','7','9','b','d','f')
+                      THEN '&a=1&b=2' ELSE '&b=2&a=1' END)
+             || (CASE WHEN substring(h, 6, 1) IN ('1','3','5','7','9','b','d','f')
+                      THEN '&utm_source=feed' ELSE '' END)
+             || (CASE WHEN substring(h, 7, 1) IN ('1','3','5','7','9','b','d','f')
+                      THEN '&gclid=g' || CAST(doc_id AS VARCHAR) ELSE '' END)
+             AS url
+      FROM raw
+    ), parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^?]*)', 1),
+                                  '^([^/:]+)', 1)) AS host,
+             regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^?]*)', 1),
+                            '^[^/:]+(:[0-9]+)', 1) AS port,
+             regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^?]*)', 1),
+                            '(/[^?]*)', 1) AS path,
+             CASE WHEN strpos(url, '?') = 0 THEN ''
+                  ELSE substring(url, strpos(url, '?') + 1) END AS qs
+      FROM built
+    ), canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host
+             || (CASE WHEN (scheme = 'https' AND port = ':443')
+                        OR (scheme = 'http' AND port = ':80')
+                      THEN '' ELSE port END)
+             || (CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/'
+                      ELSE regexp_replace(path, '/$', '') END)
+             || (CASE WHEN qc = '' THEN '' ELSE '?' || qc END) AS canonical_url
+      FROM (
+        SELECT *, array_to_string(list_sort(list_filter(string_split(qs, '&'),
+                    x -> x <> '' AND NOT (x LIKE 'utm\\_%' ESCAPE '\\'
+                         OR x LIKE 'gclid=%' OR x LIKE 'fbclid=%'
+                         OR x LIKE 'ref=%'))), '&') AS qc
+        FROM parts
+      )
+    )
+    SELECT canonical_url, COUNT(*) AS n_rows,
+           COUNT(DISTINCT url) AS n_raw_variants,
+           MIN(doc_id) AS min_doc
+    FROM canon
+    GROUP BY canonical_url
+    HAVING COUNT(DISTINCT url) >= 2
+    """,
+)
+def url_canonicalize_dedup(spark, sf_dir):
+    """URL canonicalization + dedup — the crawl-core normalizer that
+    keeps a frontier from re-fetching the same page under cosmetic URL
+    variants (reference analog: the URL builders composing dispatch
+    URLs from parts, Coordinator/main.py:34-61, which this engine must
+    invert at ingest). Deterministic messy variants (scheme/host case,
+    explicit default port, trailing slash, tracking params, query-param
+    order) are synthesized per document — four doc_ids share one
+    logical page — then canonicalized FROM the raw string with
+    JVM-side builtins only: lowercase scheme/host, strip default port,
+    trim one trailing slash, drop utm_*/gclid/fbclid/ref params, sort
+    the survivors. Groups with ≥2 distinct raw spellings are the dedup
+    yield. Scale: pure in-row transforms + one hash aggregate on the
+    canonical key — no joins, no UDFs; at 10^10 URLs this is exactly
+    the map-side normalize-then-shuffle-once shape a frontier ingest
+    needs. Oracle builds the same variants and canonicalizes
+    independently with DuckDB list lambdas."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    odd = "('1','3','5','7','9','b','d','f')"
+    built = d.withColumn("page", F.expr("CAST(doc_id DIV 4 AS BIGINT)")) \
+        .withColumn("h", F.md5(F.col("doc_id").cast("string"))) \
+        .withColumn("url", F.expr(f"""
+            (CASE WHEN substring(h, 1, 1) IN {odd} THEN 'HTTPS' ELSE 'https' END)
+            || '://'
+            || (CASE WHEN substring(h, 2, 1) IN {odd}
+                     THEN upper(concat('h', CAST(page % 20 AS STRING), '.example.com'))
+                     ELSE concat('h', CAST(page % 20 AS STRING), '.example.com') END)
+            || (CASE WHEN substring(h, 3, 1) IN {odd} THEN ':443' ELSE '' END)
+            || '/p/' || CAST(page AS STRING)
+            || (CASE WHEN substring(h, 4, 1) IN {odd} THEN '/' ELSE '' END)
+            || '?id=' || CAST(page AS STRING)
+            || (CASE WHEN substring(h, 5, 1) IN {odd} THEN '&a=1&b=2' ELSE '&b=2&a=1' END)
+            || (CASE WHEN substring(h, 6, 1) IN {odd} THEN '&utm_source=feed' ELSE '' END)
+            || (CASE WHEN substring(h, 7, 1) IN {odd}
+                     THEN concat('&gclid=g', CAST(doc_id AS STRING)) ELSE '' END)
+        """))
+    parts = built.select(
+        "doc_id", "url",
+        F.expr("lower(regexp_extract(url, '^([A-Za-z]+)://', 1))").alias("scheme"),
+        F.expr("lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^?]*)', 1),"
+               " '^([^/:]+)', 1))").alias("host"),
+        F.expr("regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^?]*)', 1),"
+               " '^[^/:]+(:[0-9]+)', 1)").alias("port"),
+        F.expr("regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^?]*)', 1),"
+               " '(/[^?]*)', 1)").alias("path"),
+        F.expr("CASE WHEN instr(url, '?') = 0 THEN ''"
+               " ELSE substring(url, instr(url, '?') + 1) END").alias("qs"),
+    )
+    canon = parts.withColumn("qc", F.expr(
+        "array_join(sort_array(filter(split(qs, '&'),"
+        " x -> x <> '' AND NOT (x LIKE 'utm\\\\_%' ESCAPE '\\\\'"
+        " OR x LIKE 'gclid=%' OR x LIKE 'fbclid=%' OR x LIKE 'ref=%'))), '&')"
+    )).withColumn("canonical_url", F.expr("""
+        scheme || '://' || host
+        || (CASE WHEN (scheme = 'https' AND port = ':443')
+                   OR (scheme = 'http' AND port = ':80')
+                 THEN '' ELSE port END)
+        || (CASE WHEN regexp_replace(path, '/$', '') = '' THEN '/'
+                 ELSE regexp_replace(path, '/$', '') END)
+        || (CASE WHEN qc = '' THEN '' ELSE '?' || qc END)
+    """))
+    return (
+        canon.groupBy("canonical_url")
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("url").alias("n_raw_variants"),
+             F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_raw_variants") >= 2)
+    )
+
+
+_REDIRECT_ODD = "('1','3','5','7','9','b','d','f')"
+
+
+def _redirect_oracle() -> str:
+    fold = _ascii_fold7("'t:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS src,
+             substring(md5('r:' || CAST(doc_id AS VARCHAR)), 1, 1)
+               IN {_REDIRECT_ODD} AS is_r,
+             CAST(({fold}) % (SELECT COUNT(*) FROM documents) AS BIGINT) AS tgt
+      FROM documents
+    ),
+    chain(src, cur, steps) AS (
+      SELECT src, src, 0 FROM base
+      UNION ALL
+      SELECT c.src, b.tgt, c.steps + 1
+      FROM chain c JOIN base b ON b.src = c.cur
+      WHERE b.is_r AND c.steps < 600
+    ),
+    resolved AS (
+      SELECT c.src, c.cur AS final, c.steps AS hops
+      FROM chain c JOIN base b ON b.src = c.cur
+      WHERE NOT b.is_r
+    )
+    SELECT b.src, CAST(r.final AS BIGINT) AS final,
+           CAST(r.hops AS BIGINT) AS hops,
+           r.final IS NOT NULL AS resolved
+    FROM base b LEFT JOIN resolved r ON r.src = b.src
+    """
+
+
+@query("redirect_chain_resolve", _redirect_oracle())
+def redirect_chain_resolve(spark, sf_dir):
+    """Redirect-chain resolution — the crawl-core follow-the-301 pass
+    that maps every frontier URL to its final fetch target before
+    scheduling (reference analog: the Worker following page moves
+    before cooking, Worker/node_handler.js fetch envelope). Each doc id
+    deterministically either redirects to a hash-derived target (~50%)
+    or is terminal; chains compose and may cycle. Resolution runs as
+    POINTER DOUBLING: ceil(log2(n))+1 self-equi-joins where each round
+    squares the followed distance (ptr ← ptr(ptr), hops ← hops +
+    hops(ptr)) — O(log n) shuffles total regardless of chain length,
+    never a per-row chase; rows still pointing at a redirecting node
+    after 2^rounds ≥ n hops are provably in a cycle → resolved=false.
+    The oracle walks the same chains one hop at a time with a bounded
+    recursive CTE and must agree on final target AND exact hop count.
+    Scale: each round is an equi-join of the live state with itself —
+    at 10^10 URLs that is log2(n)≈34 co-partitionable shuffles, the
+    same shape the CC dedup loop (graph.py) is stress-proven on."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()  # control-plane scalar: the target-space modulus
+    fold = _ascii_fold7("concat('t:', CAST(doc_id AS STRING))")
+    base = d.select(
+        F.col("doc_id").alias("src"),
+        F.expr(f"substring(md5(concat('r:', CAST(doc_id AS STRING))), 1, 1)"
+               f" IN {_REDIRECT_ODD}").alias("is_r"),
+        F.expr(f"CAST(({fold}) % {n} AS BIGINT)").alias("tgt"),
+    ).localCheckpoint(eager=False)
+    state = base.select(
+        "src",
+        F.when(F.col("is_r"), F.col("tgt")).otherwise(F.col("src")).alias("ptr"),
+        F.when(F.col("is_r"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("hops"),
+    )
+    rounds = max(1, int(n).bit_length())  # 2^rounds ≥ n covers any acyclic path
+    for _ in range(rounds):
+        nxt = state.select(F.col("src").alias("_s"), F.col("ptr").alias("_p"),
+                           F.col("hops").alias("_h"))
+        state = (
+            state.join(nxt, state["ptr"] == nxt["_s"])
+            .select("src", F.col("_p").alias("ptr"),
+                    (F.col("hops") + F.col("_h")).alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+    flags = base.select(F.col("src").alias("_t"), F.col("is_r").alias("_tr"))
+    return (
+        state.join(F.broadcast(flags), state["ptr"] == flags["_t"])
+        .select(
+            "src",
+            F.when(~F.col("_tr"), F.col("ptr")).cast("long").alias("final"),
+            F.when(~F.col("_tr"), F.col("hops")).cast("long").alias("hops"),
+            (~F.col("_tr")).alias("resolved"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
@@ -5728,7 +5952,7 @@ DRIVER_WINDOW: list[str] = [
     "normalized_dedup_groups",
     "export_shard_assignment",
     "merge_upsert_reconcile",    # r04: catalog row-level MERGE (VERDICT r03 #5)
-    "symmetric_date_window",
+    "url_canonicalize_dedup",    # r04: crawl-core URL normalizer dedup
     "stream_seen_first_event",   # r04: reformulated splittable-safe — re-gate
     "duplicate_span_stats",      # r04: inter-doc repeated-span audit
     "oov_rate_by_source",        # r04: tokenizer-coverage audit
@@ -5746,7 +5970,7 @@ DRIVER_WINDOW: list[str] = [
     "range_join_windows",        # r03: bucketed interval join
     "frontier_bfs_depth",        # r04: BFS crawl-depth labeling
     "inverted_postings_topk",    # r04: capped impact-ordered postings
-    "dataset_split_assign",
+    "redirect_chain_resolve",    # r04: pointer-doubling 301-chain resolution
     "semantic_dedup_cells",      # r04: SemDeDup cell-bucketed dedup
     "boilerplate_span_removal",  # r04: ExactSubstr rewrite accounting
     "decontaminate_train_split",  # r04: eval-overlap removal step
