@@ -256,13 +256,25 @@ def _novel_against_frontier(spark: SparkSession, cat: Catalog,
 
 def _discover(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
               delta: DataFrame, images_ref: DataFrame, epoch: int,
-              ) -> tuple[DataFrame | None, int]:
+              n_ok: int) -> tuple[DataFrame | None, int]:
     """Mid-crawl link discovery over this epoch's delta: each ok fetch
     below discovery_max_depth yields deterministic children; novel ones
     (never in the frontier before) are appended to the frontier table
     (provenance: epoch_added = this epoch) and returned as pending rows
     with depth = 1 + min(parent depth among this epoch's discoverers).
-    Returns (pending_rows | None, n_novel)."""
+    Returns (pending_rows | None, n_novel).
+
+    Per-epoch cost is TWO jobs (fixed driver cost is what erodes N→4N
+    scaling efficiency, so the tail is fused like _fetch_commit's):
+    one child-rows materialization, then one frontier append whose
+    novel count rides an Observation instead of a separate count job;
+    the anti-join's broadcast strategy is sized from the known ok count
+    (n_kids ≤ n_ok · fanout), and the returned pending rows re-read the
+    just-written snapshot — a columnar delta read, never a recompute of
+    the anti-join lineage. An empty novel set rolls the append back
+    (same zero-row commit hygiene as the fetch log)."""
+    if n_ok == 0:
+        return None, 0
     parents = delta.filter(
         (F.col("status") == "ok") & F.col("depth").isNotNull()
         & (F.col("depth") < cfg.discovery_max_depth)
@@ -273,17 +285,20 @@ def _discover(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         .withColumn("epoch_added", F.lit(int(epoch)))
     )
     rows = _child_rows(kids, cfg).localCheckpoint()
-    n_kids = rows.count()
-    if n_kids == 0:
-        return None, 0
-    novel = _novel_against_frontier(spark, cat, cfg, rows, n_kids)
-    novel = novel.localCheckpoint()
-    n_novel = novel.count()
+    novel = _novel_against_frontier(
+        spark, cat, cfg, rows, n_ok * cfg.discovery_fanout
+    )
+    obs = Observation(f"discover_{epoch}")
+    novel = novel.observe(obs, F.count(F.lit(1)).alias("n"))
+    frontier_t = cat.table("frontier")
+    snap_id = frontier_t.append(novel, epoch=epoch)
+    n_novel = int(obs.get["n"] or 0)
     if n_novel == 0:
+        frontier_t.rollback(snap_id)
         return None, 0
-    cat.table("frontier").append(novel, epoch=epoch)
     pending = (
-        novel.filter(F.col("robots_ok"))
+        frontier_t.read_snapshot(spark, snap_id)
+        .filter(F.col("robots_ok"))
         .join(images_ref, "image_id", "left")
         .select(*PENDING_COLS)
         .withColumn("err_count", F.lit(0).cast("long"))
@@ -367,7 +382,8 @@ def run_epoch_incremental(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     )
     new_pending = losers.unionByName(retry)
     if cfg.discovery_fanout and images_ref is not None:
-        novel, n_novel = _discover(spark, cat, cfg, delta, images_ref, epoch)
+        novel, n_novel = _discover(spark, cat, cfg, delta, images_ref, epoch,
+                                   stats.n_ok)
         if novel is not None:
             new_pending = new_pending.unionByName(novel)
             stats.n_discovered = n_novel
@@ -410,12 +426,15 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         return stats, seen_agg, new_pending, shards
 
     if cfg.discovery_fanout and images_ref is not None:
-        novel, n_novel = _discover(spark, cat, cfg, delta, images_ref, epoch)
+        novel, n_novel = _discover(spark, cat, cfg, delta, images_ref, epoch,
+                                   stats.n_ok)
         if novel is not None:
             # Novel children join the pending set directly — they are
             # unattempted by construction, so next epoch's seen-state
-            # re-test passes them through unchanged.
-            new_pending = new_pending.unionByName(novel).localCheckpoint()
+            # re-test passes them through unchanged. Union stays lazy:
+            # novel reads a written snapshot and candidates is already
+            # checkpointed, so the lineage is shallow either way.
+            new_pending = new_pending.unionByName(novel)
             stats.n_discovered = n_novel
 
     # Incremental seen-state compaction: old agg ∪ epoch delta.
