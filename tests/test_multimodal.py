@@ -266,3 +266,31 @@ def test_video_frame_dedup_matches_bruteforce(spark):
     assert same_scene <= {(a, b) for a, b, _ in got}  # every planted dup found
     cross_video = [p for p in got if p[0].split(":")[0] != p[1].split(":")[0]]
     assert cross_video  # the shared-intro clips pair across videos
+
+
+def test_image_patches_match_numpy_ground_truth(spark):
+    """Every patch row of image_patches equals the straight-numpy
+    patchify of the decoded payload: same crop-to-multiple grid, same
+    mean/std (4-dp), same 4-bit code — and exactly grid² rows/image."""
+    imgs = _images_df(spark, n=6)
+    grid = 8
+    got = {
+        (r["image_id"], r["py"], r["px"]):
+            (r["patch_h"], r["patch_w"], r["mean"], r["std"], r["code"])
+        for r in multimodal.image_patches(imgs, grid=grid).collect()
+    }
+    rows = [codecs.make_image_row(f"img{i:05d}") for i in range(6)]
+    assert len(got) == grid * grid * len(rows)
+    for row in rows:
+        gray = codecs.decode(row["bytes"]).astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        ph, pw = max(h // grid, 1), max(w // grid, 1)
+        g = gray[: ph * grid, : pw * grid].reshape(grid, ph, grid, pw)
+        means, stds = g.mean(axis=(1, 3)), g.std(axis=(1, 3))
+        for py in range(grid):
+            for px in range(grid):
+                m = float(means[py, px])
+                assert got[(row["image_id"], py, px)] == (
+                    ph, pw, round(m, 4), round(float(stds[py, px]), 4),
+                    int(m) // 16,
+                )

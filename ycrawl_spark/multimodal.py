@@ -90,6 +90,50 @@ def image_resize(images: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(run, THUMB_SCHEMA)
 
 
+PATCH_SCHEMA = (
+    "image_id string, py int, px int, patch_h int, patch_w int, "
+    "mean double, std double, code int"
+)
+
+
+def image_patches(images: DataFrame, grid: int = 8) -> DataFrame:
+    """ViT-style fixed-grid patchify: decode → split each image into a
+    ``grid × grid`` patch grid (patch size h//grid × w//grid, trailing
+    remainder pixels dropped — the standard crop-to-multiple) → one
+    output row per patch with grayscale mean/std and a 4-bit intensity
+    code (mean // 16) — the tokenization step an image-training
+    pipeline runs before embedding. Arrow-batched mapInPandas over the
+    binary column; the whole grid of one image is produced by one
+    vectorized reshape, never a per-patch Python loop. Scale: output is
+    a grid²-fold row explosion of the image table — partition count is
+    inherited from the input scan, so repartition upstream by
+    image_id when feeding a shuffle-heavy consumer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for iid, raw in zip(b["image_id"], b["bytes"]):
+                px = codecs.decode(bytes(raw)).astype(np.float64)
+                gray = px.mean(axis=2)
+                h, w = gray.shape
+                ph, pw = max(h // grid, 1), max(w // grid, 1)
+                g = gray[: ph * grid, : pw * grid].reshape(grid, ph, grid, pw)
+                means = g.mean(axis=(1, 3))
+                stds = g.std(axis=(1, 3))
+                for py in range(grid):
+                    for qx in range(grid):
+                        m = float(means[py, qx])
+                        out.append((iid, py, qx, ph, pw, round(m, 4),
+                                    round(float(stds[py, qx]), 4),
+                                    int(m) // 16))
+            yield pd.DataFrame(
+                out, columns=["image_id", "py", "px", "patch_h", "patch_w",
+                              "mean", "std", "code"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(run, PATCH_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "clip_id string, n_samples long, rms double, sample_rate int, "
     "n_channels int, duration_s double, container string"

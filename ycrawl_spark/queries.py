@@ -1719,6 +1719,27 @@ def image_integrity_audit(spark, sf_dir):
     )
 
 
+@query("image_patch_stats")  # ViT-style patchify plumbing (rows-only)
+def image_patch_stats(spark, sf_dir):
+    """ViT-patchify plumbing over the input_hint image table
+    (multimodal.image_patches): decode → 8×8 patch grid → per-patch
+    grayscale mean/std/4-bit code, then a per-grid-cell rollup (mean
+    brightness, code entropy proxy via distinct codes) — the sanity
+    panel an image-training pipeline reads before committing a
+    patch-embedding run. Patch math is pinned against numpy ground
+    truth in tests/test_multimodal.py."""
+    from . import multimodal, synth
+
+    cfg = _tiny_cfg()
+    patches = multimodal.image_patches(synth.images_df(spark, cfg))
+    return (
+        patches.groupBy("py", "px")
+        .agg(F.count("*").alias("n_patches"),
+             F.avg("mean").alias("avg_brightness"),
+             F.countDistinct("code").alias("n_codes"))
+    )
+
+
 @query("video_frame_dedup")  # video decode + frame phash LSH (rows-only)
 def video_frame_dedup(spark, sf_dir):
     """Video keyframe dedup: real Y4M decode → per-frame perceptual
