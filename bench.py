@@ -242,13 +242,14 @@ def bench_crawl(spark, n_urls: int, input_dir: str | None = None,
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def run_scaling(n_urls: int, low: int, high: int) -> dict:
+def run_scaling(n_urls: int, low: int, high: int,
+                discovery: bool = False) -> dict:
     """Same job, same input, two parallelism levels; each level runs
     ``BENCH_SCALING_REPS`` times (fresh JVM each) and the best rep is
     kept — the sandbox VM shows 1.5-2× run-to-run noise from outside
     interference, and min-of-N is the standard way to bench under it."""
     reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
-    input_dir = ensure_input(n_urls)
+    input_dir = ensure_input(n_urls, discovery)
     out = {}
     for cores in (low, high):
         best = None
@@ -256,7 +257,8 @@ def run_scaling(n_urls: int, low: int, high: int) -> dict:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only",
                  "--cores", str(cores), "--n-urls", str(n_urls),
-                 "--input-dir", input_dir],
+                 "--input-dir", input_dir]
+                + (["--discovery"] if discovery else []),
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
@@ -287,10 +289,14 @@ def main() -> None:
     # requested explicitly and is reported alongside in BASELINE.md.
     ap.add_argument("--scale-low", type=int, default=2)
     ap.add_argument("--scale-high", type=int, default=8)
+    ap.add_argument("--discovery", action="store_true",
+                    help="run the crawl in mid-crawl link-discovery mode "
+                         "(seed n/4, fanout 3) for --crawl-only/--scaling")
     args = ap.parse_args()
 
     if args.scaling:
-        res = run_scaling(args.n_urls, args.scale_low, args.scale_high)
+        res = run_scaling(args.n_urls, args.scale_low, args.scale_high,
+                          discovery=args.discovery)
         print(json.dumps(res))
         return
 
@@ -301,7 +307,8 @@ def main() -> None:
                       app_name="ycrawl_bench")
     try:
         if args.crawl_only:
-            crawl = bench_crawl(spark, args.n_urls, input_dir=args.input_dir)
+            crawl = bench_crawl(spark, args.n_urls, input_dir=args.input_dir,
+                                discovery=args.discovery)
             crawl["cores"] = cores
             print(json.dumps(crawl))
             return
