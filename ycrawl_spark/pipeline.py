@@ -284,10 +284,14 @@ def _discover(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         .groupBy("id").agg(F.min("depth").alias("depth"))
         .withColumn("epoch_added", F.lit(int(epoch)))
     )
-    rows = _child_rows(kids, cfg).localCheckpoint()
-    novel = _novel_against_frontier(
-        spark, cat, cfg, rows, n_ok * cfg.discovery_fanout
-    )
+    rows = _child_rows(kids, cfg)
+    n_hint = n_ok * cfg.discovery_fanout
+    if n_hint <= cfg.state_broadcast_max:
+        # broadcast path references the child subtree twice (key side +
+        # anti side) — materialize once; the plain anti-join path uses
+        # it once, so it skips the checkpoint job entirely.
+        rows = rows.localCheckpoint()
+    novel = _novel_against_frontier(spark, cat, cfg, rows, n_hint)
     obs = Observation(f"discover_{epoch}")
     novel = novel.observe(obs, F.count(F.lit(1)).alias("n"))
     frontier_t = cat.table("frontier")

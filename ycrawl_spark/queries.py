@@ -6016,6 +6016,73 @@ def surt_domain_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "gcra_rate_limit_admission",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    g(user_id, rn, tat, admitted, event_id) AS (
+      SELECT user_id, rn, t + 10000000, TRUE, event_id
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             CASE WHEN e.t >= g.tat - 20000000
+                  THEN GREATEST(e.t, g.tat) + 10000000
+                  ELSE g.tat END,
+             e.t >= g.tat - 20000000,
+             e.event_id
+      FROM g JOIN ev e ON e.user_id = g.user_id AND e.rn = g.rn + 1
+    )
+    SELECT user_id, event_id, admitted FROM g
+    """,
+)
+def gcra_rate_limit_admission(spark, sf_dir):
+    """Per-host token-bucket admission via GCRA (the virtual-scheduling
+    form of the leaky bucket: one state variable TAT — an arrival at t
+    is admitted iff t ≥ TAT − τ, then TAT ← max(t, TAT) + T; here
+    T = 10 s emission interval, burst τ = 2T, i.e. a 3-deep bucket) —
+    the politeness rate limiter the reference worker approximates with
+    randomized sleeps (Worker/main.py:51-68) expressed as an exact,
+    replayable admission decision per request. Inherently SEQUENTIAL
+    within a host, so this is the one legitimate applyInPandas shape:
+    groups are hosts (parallel across 10^7 hosts at scale, one shuffle
+    on the group key), the in-group loop is bounded by per-host arrival
+    count, and all arithmetic is integer microseconds (unix_micros /
+    epoch_us — both engines read the same parquet µs values exactly;
+    float epoch seconds would drift). The oracle replays the identical
+    recursion one arrival per step via a recursive CTE."""
+    T, TAU = 10_000_000, 20_000_000
+    # ts is TIMESTAMP_NTZ in the parquet; the session is pinned UTC, so
+    # the cast to TIMESTAMP reinterprets the same wall-clock instant and
+    # unix_micros yields exactly DuckDB's epoch_us integer.
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+
+    def gcra(pdf):
+        pdf = pdf.sort_values(["t", "event_id"])
+        tat = None
+        adm = []
+        for t in pdf["t"]:
+            t = int(t)
+            if tat is None or t >= tat - TAU:
+                adm.append(True)
+                tat = (t if tat is None else max(t, tat)) + T
+            else:
+                adm.append(False)
+        pdf = pdf.assign(admitted=adm)
+        return pdf[["user_id", "event_id", "admitted"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        gcra, "user_id bigint, event_id bigint, admitted boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
@@ -6054,7 +6121,7 @@ DRIVER_WINDOW: list[str] = [
     "oov_rate_by_source",        # r04: tokenizer-coverage audit
     "delta_agg_maintenance",     # r04: incremental aggregate maintenance
     "kmv_distinct_sketch",       # r04: oracle-exact cardinality sketch
-    "near_dup_dedup",
+    "gcra_rate_limit_admission", # r04: exact token-bucket politeness
     "dedup_graph_triangles",     # r04: cluster-density triangle counts
     "quality_weighted_dedup",    # r04: keep-best dedup
     "ann_recall_audit",          # r04: value-gated recall@10 audit
