@@ -129,6 +129,41 @@ def test_heal_recovers_lost_frontier_appends(spark, tmp_path_factory, disc_run):
     assert crawl_order(spark, wd) == crawl_order(spark, wd_full)
 
 
+def test_discovery_flush_cadence_invariant(spark, tmp_path_factory, disc_run):
+    """discovery_flush_every is a pure durability knob: appending every
+    epoch (cadence 1) and batching (the default cadence the fixture
+    ran) must yield the identical crawl order, seen set, and frontier
+    content — unflushed batches still count as "entered" for novelty,
+    so nothing is re-discovered, lost, or double-appended."""
+    wd_base, _ = disc_run
+    wd = str(tmp_path_factory.mktemp("disc_flush1"))
+    run_crawl(spark, _cfg(discovery_flush_every=1), wd, use_bloom=True)
+    assert crawl_order(spark, wd) == crawl_order(spark, wd_base)
+    assert seen_sets(spark, wd, CFG) == seen_sets(spark, wd_base, CFG)
+    cols = ["key", "depth", "epoch_added"]
+    a = {tuple(r) for r in
+         Catalog(wd).table("frontier").read(spark).select(*cols).collect()}
+    b = {tuple(r) for r in
+         Catalog(wd_base).table("frontier").read(spark).select(*cols).collect()}
+    assert a == b
+
+
+def test_child_key_column_matches_row_builder(spark):
+    """The discovery anti-join's broadcast build side derives child
+    keys as a pure column expression (format_string %04d); it must
+    match synth.frontier_row's f-string exactly — including ids whose
+    decimal form outgrows the 4-digit pad (both pad-never-truncate)."""
+    ids = [0, 1, 9, 999, 9999, 123456, 99999999]
+    want = [synth.frontier_row(i, CFG)["key"] for i in ids]
+    got = (
+        spark.createDataFrame([(i,) for i in ids], "id long")
+        .select(F.format_string(
+            CFG.date_str + "_H%04d", F.col("id") + 1).alias("key"))
+        .collect()
+    )
+    assert [r["key"] for r in got] == want
+
+
 def test_discovery_off_keeps_seed_only_behavior(spark, tmp_path_factory):
     """fanout=0 must be byte-identical to the pre-discovery engine:
     same order as a seed-only simulator run, no frontier growth."""

@@ -107,6 +107,16 @@ class CrawlConfig:
     discovery_fanout: int = 0
     discovery_max_depth: int = 3
     n_seed_urls: int | None = None
+    # Discovered rows APPEND to the frontier table in batches of K
+    # epochs (1 = every epoch). Novel rows are localCheckpoint-pinned
+    # the epoch they surface — the batch only defers the durable write,
+    # and the crash window costs nothing because the fetch_log (committed
+    # every epoch) is the source of truth: rebuild_discovered_frontier
+    # re-derives ANY number of lost discovery appends on resume. Each
+    # deferred append is one fewer fixed-cost driver job per epoch —
+    # the term that erodes N→4N scaling efficiency when epochs are
+    # data-light.
+    discovery_flush_every: int = 8
 
     # Robots: hosts whose path prefix is disallowed are excluded at
     # frontier build (north_rule robots budget).

@@ -236,9 +236,41 @@ def _child_rows(kids: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return kids.mapInPandas(gen, schema=synth.FRONTIER_SCHEMA)
 
 
+class DiscoveryBuffer:
+    """Novel frontier rows accumulated across epochs, appended to the
+    frontier table every ``flush_every`` epochs instead of every epoch.
+    Rows are already localCheckpoint-pinned when they arrive (the same
+    materialization the pending set needs anyway), so deferring the
+    append removes one fixed-cost driver job per epoch without losing
+    anything on a crash: the fetch_log commits every epoch and
+    ``rebuild_discovered_frontier`` re-derives any number of missing
+    discovery appends from it on resume. Unflushed keys still count as
+    "entered" for novelty tests via ``extra_entered``."""
+
+    def __init__(self, flush_every: int):
+        self.flush_every = max(1, int(flush_every))
+        self.parts: list[DataFrame] = []
+
+    def add(self, rows: DataFrame) -> None:
+        self.parts.append(rows)
+
+    def extra_entered(self) -> list[DataFrame]:
+        return self.parts
+
+    def flush(self, cat: Catalog, epoch: int, force: bool = False) -> None:
+        if not self.parts or not (force or epoch % self.flush_every == 0):
+            return
+        df = self.parts[0]
+        for p in self.parts[1:]:
+            df = df.unionByName(p)
+        cat.table("frontier").append(df, epoch=epoch)
+        self.parts = []
+
+
 def _novel_against_frontier(spark: SparkSession, cat: Catalog,
                             cfg: CrawlConfig, rows: DataFrame,
-                            n_rows: int) -> DataFrame:
+                            n_rows: int, kid_keys: DataFrame | None = None,
+                            extra: list[DataFrame] | None = None) -> DataFrame:
     """Drop child rows whose key ever entered the frontier (seed rows,
     earlier discoveries — robots-blocked ones included, so they are
     never re-derived). Scale shape: children are delta-sized; the huge
@@ -246,33 +278,40 @@ def _novel_against_frontier(spark: SparkSession, cat: Catalog,
     with the read pruned to the key column, never shuffled — membership
     resolves as two broadcast passes (hits = frontier ⋉ bc(children);
     novel = children ▷ bc(hits)) while the children fit a broadcast,
-    falling back to a plain anti-join past that."""
+    falling back to a plain anti-join past that. ``kid_keys`` is a
+    cheap column-only derivation of the children's keys for the
+    broadcast build side, so the full row builder (mapInPandas) runs
+    once, on the probe side only. ``extra`` holds checkpointed
+    not-yet-flushed discovery batches — their keys are "entered" too."""
     entered = cat.table("frontier").read(spark).select("key")
+    for p in extra or []:
+        entered = entered.unionByName(p.select("key"))
     if n_rows <= cfg.state_broadcast_max:
-        hits = entered.join(F.broadcast(rows.select("key")), "key", "inner")
+        build = kid_keys if kid_keys is not None else rows.select("key")
+        hits = entered.join(F.broadcast(build), "key", "inner")
         return rows.join(F.broadcast(hits), "key", "left_anti")
     return rows.join(entered, "key", "left_anti")
 
 
 def _discover(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
               delta: DataFrame, images_ref: DataFrame, epoch: int,
-              n_ok: int) -> tuple[DataFrame | None, int]:
+              n_ok: int, buffer: DiscoveryBuffer,
+              ) -> tuple[DataFrame | None, int]:
     """Mid-crawl link discovery over this epoch's delta: each ok fetch
     below discovery_max_depth yields deterministic children; novel ones
-    (never in the frontier before) are appended to the frontier table
-    (provenance: epoch_added = this epoch) and returned as pending rows
-    with depth = 1 + min(parent depth among this epoch's discoverers).
+    (never in the frontier before, including not-yet-flushed batches in
+    ``buffer``) are localCheckpoint-pinned, handed to the buffer for a
+    batched frontier append, and returned as pending rows with
+    depth = 1 + min(parent depth among this epoch's discoverers).
     Returns (pending_rows | None, n_novel).
 
-    Per-epoch cost is TWO jobs (fixed driver cost is what erodes N→4N
-    scaling efficiency, so the tail is fused like _fetch_commit's):
-    one child-rows materialization, then one frontier append whose
-    novel count rides an Observation instead of a separate count job;
-    the anti-join's broadcast strategy is sized from the known ok count
-    (n_kids ≤ n_ok · fanout), and the returned pending rows re-read the
-    just-written snapshot — a columnar delta read, never a recompute of
-    the anti-join lineage. An empty novel set rolls the append back
-    (same zero-row commit hygiene as the fetch log)."""
+    Per-epoch cost is ONE job (fixed driver cost is what erodes N→4N
+    scaling efficiency): the novel-rows checkpoint, whose count rides
+    an Observation. The anti-join's broadcast strategy is sized from
+    the known ok count (n_kids ≤ n_ok · fanout), its broadcast build
+    side derives child keys as a pure column expression (the pandas
+    row builder runs once, probe side), and the durable frontier
+    append amortizes to 1/flush_every per epoch via the buffer."""
     if n_ok == 0:
         return None, 0
     parents = delta.filter(
@@ -285,24 +324,24 @@ def _discover(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         .withColumn("epoch_added", F.lit(int(epoch)))
     )
     rows = _child_rows(kids, cfg)
+    # key = f"{date_str}_H{id+1:04d}" (synth.frontier_row) as a column
+    # expression — java.util.Formatter %04d pads-never-truncates, same
+    # as Python's :04d, so parity holds past 4 digits.
+    kid_keys = kids.select(
+        F.format_string(cfg.date_str + "_H%04d", F.col("id") + 1).alias("key")
+    )
     n_hint = n_ok * cfg.discovery_fanout
-    if n_hint <= cfg.state_broadcast_max:
-        # broadcast path references the child subtree twice (key side +
-        # anti side) — materialize once; the plain anti-join path uses
-        # it once, so it skips the checkpoint job entirely.
-        rows = rows.localCheckpoint()
-    novel = _novel_against_frontier(spark, cat, cfg, rows, n_hint)
+    novel = _novel_against_frontier(
+        spark, cat, cfg, rows, n_hint, kid_keys, buffer.extra_entered()
+    )
     obs = Observation(f"discover_{epoch}")
-    novel = novel.observe(obs, F.count(F.lit(1)).alias("n"))
-    frontier_t = cat.table("frontier")
-    snap_id = frontier_t.append(novel, epoch=epoch)
+    novel = novel.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
     n_novel = int(obs.get["n"] or 0)
     if n_novel == 0:
-        frontier_t.rollback(snap_id)
         return None, 0
+    buffer.add(novel)
     pending = (
-        frontier_t.read_snapshot(spark, snap_id)
-        .filter(F.col("robots_ok"))
+        novel.filter(F.col("robots_ok"))
         .join(images_ref, "image_id", "left")
         .select(*PENDING_COLS)
         .withColumn("err_count", F.lit(0).cast("long"))
@@ -351,6 +390,7 @@ def run_epoch_incremental(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
                           pending: DataFrame, politeness: DataFrame,
                           epoch: int, hot_hosts: list[str] | None,
                           images_ref: DataFrame | None = None,
+                          buffer: DiscoveryBuffer | None = None,
                           ) -> tuple[EpochStats, DataFrame]:
     """One epoch, incremental frontier (see module docstring). ``pending``
     carries exact state: every row is live (not done, not forfeited)
@@ -358,10 +398,11 @@ def run_epoch_incremental(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     with_attempt = pending.withColumn(
         "attempt", (F.col("err_count") + 1).cast("int")
     )
+    rank_obs = Observation(f"rank_{epoch}")
     ranked = scheduler.rank_per_host(
         with_attempt, politeness, cfg, hot_hosts
-    ).localCheckpoint()
-    n_cand = ranked.count()
+    ).observe(rank_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    n_cand = int(rank_obs.get["n"] or 0)
     if n_cand == 0:
         return EpochStats(epoch, 0, 0, 0, 0), pending
 
@@ -384,14 +425,18 @@ def run_epoch_incremental(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         .withColumn("err_count", F.col("attempt").cast("long"))
         .select(*PENDING_COLS, "err_count")
     )
+    # The union stays LAZY: losers project a checkpointed frame, retry
+    # re-reads a written parquet snapshot, novel is checkpointed inside
+    # _discover — lineage is one epoch deep either way, and the next
+    # epoch's rank checkpoint is the materialization point. A pending
+    # checkpoint here would be a redundant fixed-cost job per epoch.
     new_pending = losers.unionByName(retry)
-    if cfg.discovery_fanout and images_ref is not None:
+    if cfg.discovery_fanout and images_ref is not None and buffer is not None:
         novel, n_novel = _discover(spark, cat, cfg, delta, images_ref, epoch,
-                                   stats.n_ok)
+                                   stats.n_ok, buffer)
         if novel is not None:
             new_pending = new_pending.unionByName(novel)
             stats.n_discovered = n_novel
-    new_pending = new_pending.localCheckpoint()
     return stats, new_pending
 
 
@@ -403,6 +448,7 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
                          bloom: seen_mod.Bloom | None,
                          shards: DataFrame | None = None,
                          images_ref: DataFrame | None = None,
+                         buffer: DiscoveryBuffer | None = None,
                          ) -> tuple[EpochStats, DataFrame | None, DataFrame,
                                     DataFrame | None]:
     """One epoch, reference mechanics: the (monotonically shrinking)
@@ -410,11 +456,12 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     (/root/reference/Coordinator/main.py:65-68), Bloom-gated at scale.
     Exclusion is monotone, so filtering the previous pending against
     the fresh state equals the full-frontier anti-join result."""
+    cand_obs = Observation(f"cand_{epoch}")
     candidates = apply_seen_state(
         pending.drop("err_count"), seen_agg, cfg, spark, use_bloom,
         n_seen_hint, bloom, shards,
-    ).localCheckpoint()
-    n_cand = candidates.count()
+    ).observe(cand_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    n_cand = int(cand_obs.get["n"] or 0)
     new_pending = candidates
     if n_cand == 0:
         return EpochStats(epoch, 0, 0, 0, 0), seen_agg, new_pending, shards
@@ -429,15 +476,15 @@ def run_epoch_regenerate(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
     if delta is None:
         return stats, seen_agg, new_pending, shards
 
-    if cfg.discovery_fanout and images_ref is not None:
+    if cfg.discovery_fanout and images_ref is not None and buffer is not None:
         novel, n_novel = _discover(spark, cat, cfg, delta, images_ref, epoch,
-                                   stats.n_ok)
+                                   stats.n_ok, buffer)
         if novel is not None:
             # Novel children join the pending set directly — they are
             # unattempted by construction, so next epoch's seen-state
             # re-test passes them through unchanged. Union stays lazy:
-            # novel reads a written snapshot and candidates is already
-            # checkpointed, so the lineage is shallow either way.
+            # novel is checkpointed inside _discover and candidates is
+            # already checkpointed, so the lineage is shallow either way.
             new_pending = new_pending.unionByName(novel)
             stats.n_discovered = n_novel
 
@@ -607,7 +654,10 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
     max_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     stats: list[EpochStats] = []
+    disc_buffer = DiscoveryBuffer(cfg.discovery_flush_every)
+    last_epoch = start_epoch
     for epoch in range(start_epoch, cfg.max_epochs + 1):
+        last_epoch = epoch
         spark.conf.set(
             "spark.sql.shuffle.partitions",
             str(max(2, min(n_pending_est // 20_000 + 1, max_shuffle))),
@@ -615,16 +665,18 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
         if incremental:
             st, pending = run_epoch_incremental(
                 spark, cat, cfg, pending, politeness, epoch, hot_hosts,
-                images_ref,
+                images_ref, disc_buffer,
             )
         else:
             st, seen_agg, pending, shards = run_epoch_regenerate(
                 spark, cat, cfg, pending, politeness, epoch, use_bloom,
                 seen_agg, n_seen_hint, hot_hosts, bloom, shards, images_ref,
+                disc_buffer,
             )
         stats.append(st)
         if st.n_selected == 0:
             break
+        disc_buffer.flush(cat, epoch)
         n_seen_hint += st.n_selected
         # next pending ≤ losers + retryable errors + discovered children
         # (exact in incremental mode, an upper bound in regenerate mode)
@@ -647,7 +699,17 @@ def _run_crawl_inner(spark: SparkSession, cfg: CrawlConfig, workdir: str,
         # bounded manifest/file-count at 10^3+-epoch crawls, content
         # provably unchanged (latest_epoch preserved for resume).
         if cfg.log_compact_every and epoch % cfg.log_compact_every == 0:
+            # pending's retry branch is a LAZY projection of this
+            # epoch's fetch_log snapshot; compaction rewrites those
+            # files, so pin pending first. Costs one job only on the
+            # compaction cadence — every other epoch pending stays lazy
+            # (the next rank checkpoint is its materialization point).
+            pending = pending.localCheckpoint()
             cat.table("fetch_log").compact(spark)
+    # Any discovery batch still buffered becomes durable here — after
+    # this point the frontier table is complete (readers outside the
+    # loop, resume without heal, final-state tests all rely on it).
+    disc_buffer.flush(cat, last_epoch, force=True)
     # Final durable state snapshot so a warm resume needs no log rebuild
     # (labelled with the log's latest epoch — the staleness check in
     # load_seen_agg compares against fetch_log).
