@@ -135,3 +135,32 @@ def test_minhash_band_cap_kills_degenerate_band(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = textops.minhash_lsh_candidates(docs, bucket_cap=10).collect()
     assert all(r["doc_a"] >= 100 for r in out)
+
+
+def test_containment_dedup_plants(spark):
+    """Planted containment cases: a verbatim-embedded doc is caught at
+    pct 100 with the right orientation; a partial overlap lands at its
+    exact integer pct; equal-size twins orient contained = larger
+    doc_id; sub-min_shingles docs and disjoint docs never appear."""
+    big = " ".join(f"w{i}" for i in range(20))            # 17 shingles
+    sub = " ".join(f"w{i}" for i in range(6, 14))         # 5 shingles, all in big
+    other = " ".join(f"x{i}" for i in range(10))          # disjoint
+    partial = " ".join(f"w{i}" for i in range(5)) + " q1 q2 q3 q4 q5"
+    tiny = "w0 w1 w2 w3 w4"                               # 2 shingles < min
+    twin = "t0 t1 t2 t3 t4 t5"                            # 3 shingles
+    docs = spark.createDataFrame(
+        [(1, big), (2, sub), (3, other), (4, partial), (7, tiny),
+         (5, twin), (6, twin)],
+        "doc_id long, text string",
+    )
+    out = {(r["contained_id"], r["container_id"]):
+           (r["n_common"], r["n_contained"], r["containment_pct"])
+           for r in textops.containment_dedup(
+               docs, k=4, min_pct=25, min_shingles=3).collect()}
+    assert out[(2, 1)] == (5, 5, 100)        # verbatim embed
+    assert out[(6, 5)] == (3, 3, 100)        # identical twins, id tiebreak
+    # partial: 10 tokens -> 7 shingles, 2 shared with big -> 200 // 7 = 28
+    assert out[(4, 1)] == (2, 7, 28)
+    flat = {i for pair in out for i in pair}
+    assert 3 not in flat and 7 not in flat
+    assert set(out) == {(2, 1), (6, 5), (4, 1)}

@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import functions as F
 
-from ycrawl_spark import codecs, multimodal
+from ycrawl_spark import codecs, multimodal, synth
 
 
 def _images_df(spark, n=20):
@@ -294,3 +294,50 @@ def test_image_patches_match_numpy_ground_truth(spark):
                     ph, pw, round(m, 4), round(float(stds[py, px]), 4),
                     int(m) // 16,
                 )
+
+
+def test_video_scene_cuts_match_plan(spark):
+    """Every scene boundary of the planted plan (plan[i] != plan[i-1])
+    is flagged as a cut and nothing else; first frames are never cuts;
+    intra-scene hamming is 0 (identical frames)."""
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=100, n_hosts=4)
+    vids = synth.videos_df(spark, cfg, n_videos=12)
+    got = {(r["video_id"], r["frame_idx"]): (r["hamming_prev"], r["is_cut"])
+           for r in multimodal.video_scene_cuts(vids, max_intra_hamming=8)
+           .collect()}
+    expect_cuts = set()
+    n_frames = 0
+    for v in range(12):
+        plan = synth.video_scene_plan(v)
+        n_frames += len(plan)
+        for i in range(1, len(plan)):
+            if plan[i] != plan[i - 1]:
+                expect_cuts.add((f"vid_{v:06d}", i))
+    assert len(got) == n_frames
+    assert {k for k, (_, cut) in got.items() if cut} == expect_cuts
+    for (vid, idx), (ham, cut) in got.items():
+        if idx == 0:
+            assert ham is None and not cut
+        elif not cut:
+            assert ham == 0  # identical frames within a scene run
+
+
+def test_audio_energy_windows_exact(spark):
+    """Window energies equal the planted square-wave amp² exactly
+    (integer, no tolerance), peaks equal amp, silence windows are 0,
+    and the window count matches the segment plan."""
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=100, n_hosts=4)
+    clips = synth.audio_df(spark, cfg, n_clips=10, seg_samples=1024)
+    got = {(r["clip_id"], r["win_idx"]): (r["n_in_win"], r["energy"], r["peak"])
+           for r in multimodal.audio_energy_windows(clips, win=1024).collect()}
+    n_expected = 0
+    for c in range(10):
+        amps = synth.audio_segment_plan(c)
+        n_expected += len(amps)
+        for w, amp in enumerate(amps):
+            assert got[(f"clip_{c:06d}", w)] == (1024, amp * amp, amp)
+    assert len(got) == n_expected

@@ -18,7 +18,8 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from . import codecs
 
@@ -291,3 +292,65 @@ def video_frame_phash(videos: DataFrame, every_n: int = 1) -> DataFrame:
                 out, columns=["frame_key", "video_id", "frame_idx", "phash"])
 
     return frames.mapInPandas(run, FRAME_PHASH_SCHEMA)
+
+
+def video_scene_cuts(videos: DataFrame, max_intra_hamming: int = 8,
+                     every_n: int = 1) -> DataFrame:
+    """Scene-cut detection over decoded video: per-frame perceptual
+    hash (the same Arrow decode path as the keyframe dedup), then a
+    per-video ordered window comparing each frame's hash with its
+    predecessor — hamming above ``max_intra_hamming`` marks a cut.
+    The window partitions by video_id, never globally, so at corpus
+    scale the only shuffle is one hash-partition by video; one clip's
+    frames land on one task, bounded by clip length (and further by
+    ``every_n`` sampling). The first frame of a clip is by definition
+    not a cut. Downstream: cuts segment clips for per-scene dedup,
+    thumbnail picks, and training-clip boundaries."""
+    ph = video_frame_phash(videos, every_n=every_n)
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    ham = F.bit_count(F.col("phash").bitwiseXOR(prev))
+    return ph.select(
+        "video_id", "frame_idx",
+        ham.cast("int").alias("hamming_prev"),
+        F.coalesce(ham > max_intra_hamming, F.lit(False)).alias("is_cut"),
+    )
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "clip_id string, win_idx int, n_in_win long, energy long, peak int"
+)
+
+
+def audio_energy_windows(audio: DataFrame, win: int = 1024) -> DataFrame:
+    """Windowed integer energy over decoded PCM — the VAD front end:
+    per fixed window of ``win`` samples, energy = (Σ x²) div n (exact
+    int64: 16-bit samples squared summed over any practical window
+    cannot overflow) plus the absolute peak. Real WAV via the RIFF
+    chunk walk, raw-int16 fallback — the same container contract as
+    ``audio_features``. Fan-out is 1 → n_windows rows with samples
+    never leaving the Arrow batch; the activity THRESHOLD stays a
+    JVM-side filter in the caller, so one decode pass serves any
+    threshold sweep."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for cid, raw in zip(b["clip_id"], b["bytes"]):
+                rb = bytes(raw)
+                if rb[:4] == b"RIFF":
+                    _rate, _ch, pcm = codecs.decode_wav(rb)
+                else:
+                    pcm = np.frombuffer(rb[: len(rb) // 2 * 2], dtype=np.int16)
+                for i in range(0, pcm.size, win):
+                    seg = pcm[i:i + win].astype(np.int64)
+                    out.append((cid, i // win, int(seg.size),
+                                int((seg * seg).sum() // seg.size),
+                                int(np.abs(seg).max())))
+            yield pd.DataFrame(
+                out, columns=["clip_id", "win_idx", "n_in_win", "energy",
+                              "peak"])
+
+    return audio.select("clip_id", "bytes").mapInPandas(
+        run, AUDIO_ENERGY_SCHEMA
+    )

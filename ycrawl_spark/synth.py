@@ -350,3 +350,49 @@ def videos_df(spark, cfg: CrawlConfig, n_videos: int | None = None,
         spark.range(0, n_videos, numPartitions=8)
         .mapInPandas(gen, schema="video_id string, bytes binary, n_frames int")
     )
+
+
+def audio_segment_plan(c: int, n_segments: int = 6) -> list[int]:
+    """Square-wave amplitude per segment of clip ``c`` (0 = silence):
+    deterministic alternation seeded by xxh64 — the planted VAD ground
+    truth, shared by the engine fixture and the test oracle. A
+    ±amp square wave makes every sample² = amp², so a window's exact
+    integer energy is amp² — bit-checkable with no float tolerance."""
+    amps = []
+    for s in range(n_segments):
+        h = xxh64_str(f"aud:{c}:{s}")
+        amps.append(0 if h % 3 == 0 else 1000 + h % 9000)
+    return amps
+
+
+def audio_df(spark, cfg: CrawlConfig, n_clips: int | None = None,
+             seg_samples: int = 1024, sample_rate: int = 16000):
+    """Deterministic WAV clip table (clip_id, bytes, sample_rate):
+    per-segment constant-amplitude square waves and silence per
+    ``audio_segment_plan`` — real RIFF containers via codecs.encode_wav,
+    decoded by the real RIFF walk on the read side. Segment length ==
+    the energy-window length, so window boundaries align with planted
+    segments."""
+    n_clips = n_clips or max(16, cfg.n_urls // 25)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for c in (int(i) for i in b["id"]):
+                t = np.arange(seg_samples)
+                sq = ((t % 2) * 2 - 1)  # +1/-1 alternating
+                pcm = np.concatenate([
+                    (amp * sq).astype(np.int16)
+                    for amp in audio_segment_plan(c)
+                ])
+                rows.append({
+                    "clip_id": f"clip_{c:06d}",
+                    "bytes": codecs.encode_wav(pcm, sample_rate),
+                    "sample_rate": sample_rate,
+                })
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n_clips, numPartitions=8)
+        .mapInPandas(gen, schema="clip_id string, bytes binary, sample_rate int")
+    )

@@ -426,6 +426,70 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, k: int = 4,
     )
 
 
+def containment_dedup(df: DataFrame, k: int = 4, min_pct: int = 50,
+                      min_shingles: int = 3, text_col: str = "text",
+                      bucket_cap: int | None = 10_000) -> DataFrame:
+    """Subset/containment near-dup detection: C(small, big) =
+    |sh(small) ∩ sh(big)| / |sh(small)| — the asymmetric overlap that
+    catches a document EMBEDDED in a longer one (page + boilerplate
+    wrapper, quote farms, concatenated dumps). Symmetric Jaccard misses
+    exactly this case: |A∩B|/|A∪B| → 0 as |B| grows even when A ⊆ B,
+    so a Jaccard-thresholded dedup keeps both copies. Training-data
+    rule: drop ``contained_id``, keep ``container_id`` (the superset
+    carries strictly more signal).
+
+    Distributed shape: the same shingle-bucket pairing as
+    ``ngram_shared_pairs`` (explode distinct k-shingles → window-capped
+    ``bucket_pairs`` — never all-pairs; hot stop-phrase shingles
+    dropped past ``bucket_cap``), then two size joins orient each pair
+    (contained = smaller shingle set; equal sizes break toward the
+    LARGER doc_id being contained, so the earlier doc survives).
+    Integer-exact: containment_pct = (100·|∩|) div |sh(small)| — no
+    float ratios, bit-identical on any partitioning. ``min_shingles``
+    guards the degenerate end (a 1-shingle doc is "contained" in
+    anything sharing its one phrase). Reference parity: the dedupe
+    family (DataProcessor dedupe_latest_*), extended with the
+    training-pipeline containment rule."""
+    sh = (
+        with_tokens(fan_out(df), text_col)
+        .select("doc_id",
+                F.explode(F.array_distinct(shingles_col("tokens", k))).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    common = (
+        bucket_pairs(sh, ["sh"], cap=bucket_cap)
+        .groupBy(F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        common
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("n_b")), "doc_b")
+    )
+    small_is_a = (F.col("n_a") < F.col("n_b")) | (
+        (F.col("n_a") == F.col("n_b")) & (F.col("doc_a") > F.col("doc_b"))
+    )
+    return (
+        j.select(
+            F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b"))
+            .cast("long").alias("contained_id"),
+            F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a"))
+            .cast("long").alias("container_id"),
+            F.col("n_common").cast("long").alias("n_common"),
+            F.when(small_is_a, F.col("n_a")).otherwise(F.col("n_b"))
+            .cast("long").alias("n_contained"),
+            F.when(small_is_a, F.col("n_b")).otherwise(F.col("n_a"))
+            .cast("long").alias("n_container"),
+        )
+        .withColumn("containment_pct",
+                    F.expr("(100 * n_common) div n_contained").cast("long"))
+        .filter((F.col("containment_pct") >= min_pct)
+                & (F.col("n_contained") >= min_shingles))
+    )
+
+
 def minhash_signatures(df: DataFrame, n_perm: int = 16, k: int = 4,
                        text_col: str = "text") -> DataFrame:
     """MinHash signatures fully JVM-side: perm_i(x) = xxhash64(x||':pi'),
