@@ -164,3 +164,50 @@ def test_containment_dedup_plants(spark):
     flat = {i for pair in out for i in pair}
     assert 3 not in flat and 7 not in flat
     assert set(out) == {(2, 1), (6, 5), (4, 1)}
+
+
+def test_cdc_chunks_partition_and_resync(spark):
+    """(1) Chunks exactly partition each document's UTF-8 bytes;
+    (2) every non-final chunk ends on a gear-hash boundary or at
+    max_len, never before min_len; (3) the CDC property: prepending a
+    prefix to a document leaves every chunk after resync identical
+    (same hashes), so a near-copy shares almost all chunks."""
+    import hashlib
+
+    base = " ".join(f"tok{i % 37}x{i % 11}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED HEADER " + base)],
+        "doc_id long, text string")
+    rows = textops.cdc_chunks(docs, min_len=16, mask_bits=5,
+                              max_len=128).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    gear = textops._gear_table()
+    for doc_id, text in [(1, base), (2, "INSERTED HEADER " + base)]:
+        data = text.encode()
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        # exact partition
+        pos = 0
+        for c in chunks:
+            assert c["start"] == pos
+            seg = data[pos:pos + c["length"]]
+            assert hashlib.md5(seg).hexdigest() == c["chunk_hash"]
+            pos += c["length"]
+        assert pos == len(data)
+        # boundary rule on every non-final chunk
+        for c in chunks[:-1]:
+            assert 16 <= c["length"] <= 128
+            if c["length"] < 128:
+                h = 0
+                for byte in data[c["start"]:c["start"] + c["length"]]:
+                    h = ((h << 1) + gear[byte]) & ((1 << 64) - 1)
+                assert h & 31 == 0
+    # resync: the two docs share a long common suffix of chunks
+    h1 = [c["chunk_hash"] for c in sorted(by_doc[1], key=lambda r: r["chunk_idx"])]
+    h2 = [c["chunk_hash"] for c in sorted(by_doc[2], key=lambda r: r["chunk_idx"])]
+    shared = 0
+    while (shared < min(len(h1), len(h2))
+           and h1[-1 - shared] == h2[-1 - shared]):
+        shared += 1
+    assert shared >= len(h1) - 3  # all but the first few chunks survive

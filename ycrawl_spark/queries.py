@@ -6243,6 +6243,448 @@ def gcra_rate_limit_admission(spark, sf_dir):
     )
 
 
+@query(
+    "sitemap_url_extract",
+    """
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ), body AS (
+      SELECT doc_id,
+        '<?xml version="1.0"?><urlset>'
+        || '<url><loc>https://s' || CAST(doc_id % 10 AS VARCHAR)
+        || '.example.com/page/'
+        || CAST((ascii(substring(h,1,1)) * 97 + ascii(substring(h,2,1))) % 300
+                AS VARCHAR)
+        || '</loc><changefreq>daily</changefreq></url>'
+        || '<url><loc>https://s' || CAST(doc_id % 10 AS VARCHAR)
+        || '.example.com/page/'
+        || CAST((ascii(substring(h,3,1)) * 97 + ascii(substring(h,4,1))) % 300
+                AS VARCHAR)
+        || '</loc><priority>0.5</priority></url>'
+        || '<url><loc>https://s' || CAST((doc_id + 3) % 10 AS VARCHAR)
+        || '.example.com/page/'
+        || CAST((ascii(substring(h,5,1)) * 97 + ascii(substring(h,6,1))) % 300
+                AS VARCHAR)
+        || '</loc><lastmod>2024-01-01</lastmod></url></urlset>' AS xml
+      FROM d
+    ), loc AS (
+      SELECT doc_id, unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS url
+      FROM body
+    ), parsed AS (
+      SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             CAST(regexp_extract(url, '/page/([0-9]+)$', 1) AS BIGINT) AS page
+      FROM loc
+    ), seen AS (
+      SELECT DISTINCT o_orderkey % 300 AS page FROM orders
+    )
+    SELECT p.host, COUNT(*) AS n_locs,
+           COUNT(DISTINCT p.page) AS n_pages,
+           COUNT(DISTINCT CASE WHEN s.page IS NULL THEN p.page END) AS n_novel
+    FROM parsed p LEFT JOIN seen s ON s.page = p.page
+    GROUP BY p.host
+    """,
+)
+def sitemap_url_extract(spark, sf_dir):
+    """Sitemap ingestion — the OTHER frontier source next to link
+    discovery: fetched sitemap XML payloads yield candidate URLs that
+    must be parsed, host-grouped, deduped, and anti-joined against the
+    already-seen set before they earn frontier slots (reference analog:
+    the URL builders seeding the dispatch frontier, Coordinator/
+    main.py:34-61; here the frontier GROWS from fetched artifacts).
+    Deterministic sitemap bodies (3 <loc> entries each, page ids from
+    md5-char arithmetic so entries collide across sitemaps) are
+    synthesized per document, then processed exactly as ingest would:
+    regexp_extract_all pulls <loc> values in-row (JVM regex, no UDF),
+    explode, parse host/page, LEFT JOIN the seen set (300 distinct
+    pages — broadcast-sized by construction, exactly like a per-epoch
+    seen-set aggregate), count total / distinct / novel per host. At
+    10^10 scale: extract+explode is map-side, the seen join broadcasts,
+    the one shuffle is the host rollup. Oracle builds the identical XML
+    and runs the same extraction in DuckDB."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+    ent = ("'<url><loc>https://s' || CAST({host} AS STRING) "
+           "|| '.example.com/page/' "
+           "|| CAST((ascii(substring(h,{a},1)) * 97 "
+           "+ ascii(substring(h,{b},1))) % 300 AS STRING) || '</loc>{tail}</url>'")
+    xml = d.withColumn("xml", F.expr(
+        "'<?xml version=\"1.0\"?><urlset>' || "
+        + ent.format(host="doc_id % 10", a=1, b=2,
+                     tail="<changefreq>daily</changefreq>")
+        + " || " + ent.format(host="doc_id % 10", a=3, b=4,
+                              tail="<priority>0.5</priority>")
+        + " || " + ent.format(host="(doc_id + 3) % 10", a=5, b=6,
+                              tail="<lastmod>2024-01-01</lastmod>")
+        + " || '</urlset>'"))
+    parsed = (
+        xml.select(F.explode(F.expr(
+            "regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)")).alias("url"))
+        .select(
+            F.regexp_extract("url", "^https://([^/]+)/", 1).alias("host"),
+            F.regexp_extract("url", "/page/([0-9]+)$", 1)
+            .cast("bigint").alias("page"),
+        )
+    )
+    seen = (
+        load(spark, sf_dir, "orders")
+        .select((F.col("o_orderkey") % 300).alias("page")).distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    return (
+        parsed.join(F.broadcast(seen), "page", "left")
+        .groupBy("host")
+        .agg(F.count("*").alias("n_locs"),
+             F.countDistinct("page").alias("n_pages"),
+             F.countDistinct(F.when(F.col("seen").isNull(), F.col("page")))
+             .alias("n_novel"))
+    )
+
+
+@query(
+    "html_field_extraction",
+    """
+    WITH d AS (
+      SELECT doc_id, text, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), page AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' | '
+        || upper(lang) || '</title></head><body>'
+        || '<nav><a href="/">home</a><a href="/about">about</a></nav>'
+        || '<h1>' || substring(text, 1, 24) || '</h1>'
+        || '<p>' || text || '</p>'
+        || '<a href="https://out-' || substring(h, 1, 2)
+        || '.example.org/r/' || CAST(doc_id AS VARCHAR) || '">src</a>'
+        || (CASE WHEN substring(h, 3, 1) IN ('1','3','5','7','9','b','d','f')
+                 THEN '<a href="/p/' || CAST(doc_id + 1 AS VARCHAR) || '">next</a>'
+                 ELSE '' END)
+        || '<footer>(c) example</footer></body></html>' AS html
+      FROM d
+    )
+    SELECT doc_id,
+           regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+           CAST(len(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS INT)
+             AS n_links,
+           CAST(len(list_filter(regexp_extract_all(html, 'href="([^"]+)"', 1),
+                                x -> x LIKE 'https://%')) AS INT) AS n_external,
+           regexp_extract(
+             list_filter(regexp_extract_all(html, 'href="([^"]+)"', 1),
+                         x -> x LIKE 'https://%')[1],
+             '^https://([^/]+)/', 1) AS ext_host,
+           CAST(length(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ',
+                'g'), ' +', ' ', 'g'))) AS INT) AS n_visible_chars
+    FROM page
+    """,
+)
+def html_field_extraction(spark, sf_dir):
+    """HTML parse — the content-extraction half of fetch-parse-store:
+    title, link inventory (total + external), first outbound host (the
+    link-discovery feed), and visible-text length after tag stripping
+    (the boilerplate-aware size a quality filter keys on). Deterministic
+    HTML wrappers (nav boilerplate, h1, body paragraph, one outbound
+    link, a conditional next-page link, footer) are synthesized per
+    document, then every field is recovered FROM the markup with
+    JVM-side regex builtins only — regexp_extract / regexp_extract_all
+    / filter / regexp_replace — i.e. pure map-side row transforms: at
+    10^10 pages this stage shuffles NOTHING and whole-stage codegen
+    fuses it into the scan. (A real crawl swaps the synthesizer for the
+    fetched payload column; the extraction plan is unchanged.) Oracle
+    builds identical markup and extracts with DuckDB's RE2 lambdas —
+    patterns kept RE2-safe (no lookarounds) so both engines match."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"))
+    page = d.withColumn("html", F.expr("""
+        '<html><head><title>Doc ' || CAST(doc_id AS STRING) || ' | '
+        || upper(lang) || '</title></head><body>'
+        || '<nav><a href="/">home</a><a href="/about">about</a></nav>'
+        || '<h1>' || substring(text, 1, 24) || '</h1>'
+        || '<p>' || text || '</p>'
+        || '<a href="https://out-' || substring(h, 1, 2)
+        || '.example.org/r/' || CAST(doc_id AS STRING) || '">src</a>'
+        || (CASE WHEN substring(h, 3, 1) IN ('1','3','5','7','9','b','d','f')
+                 THEN '<a href="/p/' || CAST(doc_id + 1 AS STRING) || '">next</a>'
+                 ELSE '' END)
+        || '<footer>(c) example</footer></body></html>'
+    """))
+    links = "regexp_extract_all(html, 'href=\"([^\"]+)\"', 1)"
+    ext = f"filter({links}, x -> x LIKE 'https://%')"
+    return page.select(
+        "doc_id",
+        F.expr("regexp_extract(html, '<title>([^<]*)</title>', 1)")
+        .alias("title"),
+        F.expr(f"CAST(size({links}) AS INT)").alias("n_links"),
+        F.expr(f"CAST(size({ext}) AS INT)").alias("n_external"),
+        F.expr(f"regexp_extract(element_at({ext}, 1), '^https://([^/]+)/', 1)")
+        .alias("ext_host"),
+        F.expr("CAST(length(trim(regexp_replace(regexp_replace(html,"
+               " '<[^>]*>', ' '), ' +', ' '))) AS INT)")
+        .alias("n_visible_chars"),
+    )
+
+
+@query(
+    "url_template_mining",
+    """
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ), u AS (
+      SELECT doc_id,
+        't' || CAST(doc_id % 8 AS VARCHAR) || '.example.com' AS host,
+        CASE doc_id % 4
+          WHEN 0 THEN '/item/' || CAST(doc_id // 4 AS VARCHAR)
+          WHEN 1 THEN '/cal/2024/'
+                 || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+                 || '/' || CAST(doc_id % 28 + 1 AS VARCHAR)
+          WHEN 2 THEN '/s/' || substring(h, 1, 6)
+                 || '/p/' || CAST(doc_id // 16 AS VARCHAR)
+          ELSE '/tag/' || CAST(doc_id % 5 AS VARCHAR)
+               || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+        END AS path,
+        CASE doc_id % 4
+          WHEN 0 THEN 'c0:' || CAST(doc_id // 4 AS VARCHAR)
+          WHEN 1 THEN 'c1:' || CAST(doc_id % 8 AS VARCHAR)
+          WHEN 2 THEN 'c2:' || CAST(doc_id // 16 AS VARCHAR)
+          ELSE 'c3:' || CAST(doc_id % 5 AS VARCHAR)
+        END AS content_key
+      FROM d
+    ), t AS (
+      SELECT host,
+             regexp_replace(regexp_replace(path, '/s/[0-9a-f]+', '/s/{h}', 'g'),
+                            '[0-9]+', '{d}', 'g') AS template,
+             path, content_key
+      FROM u
+    )
+    SELECT host, template,
+           COUNT(DISTINCT path) AS n_urls,
+           COUNT(DISTINCT content_key) AS n_contents,
+           (100 * COUNT(DISTINCT path)) // COUNT(DISTINCT content_key)
+             AS urls_per_100_contents
+    FROM t
+    GROUP BY host, template
+    HAVING COUNT(DISTINCT path) >= 2
+    """,
+)
+def url_template_mining(spark, sf_dir):
+    """URL template mining — crawl-trap detection: collapse every URL
+    path to its template (digit runs → {d}, session-hash segments →
+    {h}) and compare DISTINCT URLS per template against DISTINCT
+    CONTENT fingerprints. A healthy template (/item/{d}) has ~1 URL per
+    content; a calendar or session-id trap has hundreds of URLs mapping
+    to the same few payloads — the classic infinite-URL-space failure a
+    10^10-frontier crawler must starve before it eats the politeness
+    budget. Deterministic URL families are synthesized per document
+    (genuine items, a calendar trap, session-id paths, tag pagination),
+    each carrying the content key its page would hash to; templates are
+    pure in-row regexp_replace (RE2-safe, global in both engines), the
+    only shuffle is the (host, template) rollup, and the
+    urls-per-100-contents ratio is integer floor-division so both
+    engines hash identically. Reference parity: extends the dispatch
+    URL builders (Coordinator/main.py:34-61) with the inverse
+    (template) direction."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+    u = d.select(
+        F.expr("'t' || CAST(doc_id % 8 AS STRING) || '.example.com'")
+        .alias("host"),
+        F.expr("""
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN '/item/' || CAST(doc_id DIV 4 AS STRING)
+            WHEN 1 THEN '/cal/2024/'
+                   || lpad(CAST(doc_id % 12 + 1 AS STRING), 2, '0')
+                   || '/' || CAST(doc_id % 28 + 1 AS STRING)
+            WHEN 2 THEN '/s/' || substring(h, 1, 6)
+                   || '/p/' || CAST(doc_id DIV 16 AS STRING)
+            ELSE '/tag/' || CAST(doc_id % 5 AS STRING)
+                 || '/page/' || CAST(doc_id % 50 AS STRING)
+          END""").alias("path"),
+        F.expr("""
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'c0:' || CAST(doc_id DIV 4 AS STRING)
+            WHEN 1 THEN 'c1:' || CAST(doc_id % 8 AS STRING)
+            WHEN 2 THEN 'c2:' || CAST(doc_id DIV 16 AS STRING)
+            ELSE 'c3:' || CAST(doc_id % 5 AS STRING)
+          END""").alias("content_key"),
+    )
+    t = u.withColumn("template", F.expr(
+        "regexp_replace(regexp_replace(path, '/s/[0-9a-f]+', '/s/{h}'),"
+        " '[0-9]+', '{d}')"))
+    return (
+        t.groupBy("host", "template")
+        .agg(F.countDistinct("path").alias("n_urls"),
+             F.countDistinct("content_key").alias("n_contents"))
+        .filter(F.col("n_urls") >= 2)
+        .withColumn("urls_per_100_contents",
+                    F.expr("(100 * n_urls) DIV n_contents"))
+    )
+
+
+@query(
+    "lsh_transitivity_audit",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))) AS sh
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3),
+    n AS (
+      SELECT doc_a AS pivot_id, doc_b AS nb FROM p
+      UNION ALL
+      SELECT doc_b, doc_a FROM p),
+    w AS (
+      SELECT n1.pivot_id, n1.nb AS nb1, n2.nb AS nb2
+      FROM n n1 JOIN n n2
+        ON n1.pivot_id = n2.pivot_id AND n1.nb < n2.nb)
+    SELECT w.pivot_id,
+           CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(COUNT(CASE WHEN p.doc_a IS NULL THEN 1 END) AS BIGINT)
+             AS n_open,
+           (100 * COUNT(CASE WHEN p.doc_a IS NULL THEN 1 END)) // COUNT(*)
+             AS open_pct
+    FROM w LEFT JOIN p ON p.doc_a = w.nb1 AND p.doc_b = w.nb2
+    GROUP BY w.pivot_id
+    """,
+)
+def lsh_transitivity_audit(spark, sf_dir):
+    """Candidate-graph transitivity audit — the dedup-quality check
+    that sits between pair generation and connected components: for
+    every pivot document, count wedges (two neighbors in the candidate
+    graph) and how many are OPEN (the third edge missing). A
+    high open-wedge rate means the pair threshold is chaining unrelated
+    docs through hubs — exactly the failure mode that makes a
+    components-based dedup collapse half the corpus into one cluster;
+    auditing it BEFORE running components is how a 100-TB pipeline
+    avoids discovering the collapse after the fact
+    (dedup_graph_triangles counts the global closure; this localizes it
+    per pivot). Pair set = exact shared-4-gram candidates (min 3 common
+    shingles, same engine path as ngram_shared_pairs); wedge
+    enumeration is one self-join of the symmetrized adjacency on the
+    pivot key, closure is one LEFT JOIN back to the (a<b)-oriented pair
+    set, both bounded by per-pivot degree (degree-capped upstream by
+    bucket_pairs' window cap at corpus scale). Integer-exact open_pct
+    via floor division."""
+    pairs = textops.ngram_shared_pairs(
+        load(spark, sf_dir, "documents"), k=4, min_common=3
+    ).select("doc_a", "doc_b")
+    n = pairs.select(F.col("doc_a").alias("pivot_id"),
+                     F.col("doc_b").alias("nb")).unionAll(
+        pairs.select(F.col("doc_b").alias("pivot_id"),
+                     F.col("doc_a").alias("nb")))
+    w = (
+        n.alias("n1")
+        .join(n.alias("n2"), "pivot_id")
+        .filter(F.col("n1.nb") < F.col("n2.nb"))
+        .select("pivot_id", F.col("n1.nb").alias("nb1"),
+                F.col("n2.nb").alias("nb2"))
+    )
+    closed = pairs.select(F.col("doc_a").alias("nb1"),
+                          F.col("doc_b").alias("nb2"),
+                          F.lit(1).alias("closed"))
+    return (
+        w.join(closed, ["nb1", "nb2"], "left")
+        .groupBy("pivot_id")
+        .agg(F.count("*").alias("n_wedges"),
+             F.count(F.when(F.col("closed").isNull(), 1)).alias("n_open"))
+        .withColumn("open_pct", F.expr("(100 * n_open) DIV n_wedges"))
+    )
+
+
+@query("cdc_chunk_dedup")  # gear rolling hash is sequential per doc (rows-only)
+def cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (Gear/FastCDC family,
+    textops.cdc_chunks): documents → boundary-resyncing chunks → the
+    chunk-hash rollup a dedup store runs to find shared chunks across
+    near-copies (re-fetched pages that changed one header share every
+    chunk past the first post-edit boundary). Sequential rolling hash
+    per document → Arrow-batched mapInPandas, parallel across docs, no
+    shuffle until the final chunk-hash aggregate. Exact-partition and
+    insert-resync invariants pinned in tests/test_dedup.py. Output:
+    chunk families appearing in ≥2 documents (the dedup yield), with
+    family size and the min doc carrying it."""
+    chunks = textops.cdc_chunks(load(spark, sf_dir, "documents"))
+    return (
+        chunks.groupBy("chunk_hash", "length")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_copies"),
+             F.min("doc_id").alias("min_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@query(
+    "int8_quantization_audit",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, label, emb,
+             list_max(list_transform(emb, x -> abs(x))) AS mx
+      FROM e
+    ), q AS (
+      SELECT vec_id, label,
+             list_max(list_transform(emb, x ->
+               CAST(floor(abs(x - (CAST(floor((x * 127.0) / mx) AS BIGINT)
+                                   * mx) / 127.0) * 1000000.0) AS BIGINT)))
+               AS max_err_u,
+             list_max(list_transform(emb, x ->
+               abs(CAST(floor((x * 127.0) / mx) AS BIGINT)))) AS max_code_abs
+      FROM m WHERE mx > 0
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MAX(max_err_u) AS worst_err_u,
+           CAST(SUM(max_err_u) AS BIGINT) // COUNT(*) AS mean_err_u,
+           MAX(max_code_abs) AS max_code_abs
+    FROM q GROUP BY label
+    """,
+)
+def int8_quantization_audit(spark, sf_dir):
+    """Int8 scalar-quantization audit — the storage/serving decision
+    every embedding pipeline makes (4× smaller vectors, SIMD distance
+    kernels) gated by a reconstruction-error budget: per vector,
+    symmetric per-vector scaling code = floor(x·127/max|x|), recon =
+    code·max|x|/127, and the audit reports the worst and mean
+    per-vector max error per label (µ-units: floor(err·10⁶) — integer,
+    so both engines hash identically) plus the code-range sanity bound.
+    Entirely JVM-side higher-order functions over the array column
+    (transform/array_max inside whole-stage codegen — quantizing 10^10
+    vectors is a map-only scan), one label rollup shuffle. Float→double
+    widening is exact, and every float op is written with identical
+    association in both engines, so the IEEE results are bit-equal —
+    the same discipline as the cosine/ANN family. Zero vectors (mx=0)
+    are excluded: nothing to scale."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"))
+    m = e.withColumn(
+        "mx", F.expr("array_max(transform(emb, x -> abs(x)))"))
+    q = m.filter(F.col("mx") > 0).select(
+        "label",
+        F.expr("""array_max(transform(emb, x ->
+                 CAST(floor(abs(x - (CAST(floor((x * 127.0D) / mx) AS BIGINT)
+                                     * mx) / 127.0D) * 1000000.0D) AS BIGINT)))
+               """).alias("max_err_u"),
+        F.expr("array_max(transform(emb, x ->"
+               " abs(CAST(floor((x * 127.0D) / mx) AS BIGINT))))")
+        .alias("max_code_abs"),
+    )
+    return (
+        q.groupBy("label")
+        .agg(F.count("*").cast("long").alias("n_vecs"),
+             F.max("max_err_u").alias("worst_err_u"),
+             F.expr("CAST(SUM(max_err_u) AS BIGINT) DIV COUNT(*)")
+             .alias("mean_err_u"),
+             F.max("max_code_abs").alias("max_code_abs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #

@@ -1341,3 +1341,74 @@ def simhash16_near_dups(sketch: DataFrame, max_hamming: int = 3,
         )
         .distinct()
     )
+
+
+# ───────────────── content-defined chunking (storage dedup) ─────────────────
+
+CDC_SCHEMA = ("doc_id long, chunk_idx int, start int, length int, "
+              "chunk_hash string")
+
+
+def _gear_table() -> list[int]:
+    """256 deterministic 64-bit gear values (md5-derived — stable
+    across processes/rounds, no RNG)."""
+    import hashlib
+
+    return [int.from_bytes(hashlib.md5(f"gear:{i}".encode()).digest()[:8],
+                           "big") for i in range(256)]
+
+
+def cdc_chunks(df: DataFrame, min_len: int = 16, mask_bits: int = 5,
+               max_len: int = 128, text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (Gear/FastCDC family): the storage-side
+    dedup primitive that fixed-size blocking cannot replace — a gear
+    rolling hash h = (h<<1) + GEAR[byte] declares a boundary where the
+    low ``mask_bits`` bits are zero (expected chunk ≈ 2^mask_bits past
+    ``min_len``, hard-capped at ``max_len``), so an insertion early in
+    a document RESYNCS: every chunk past the first post-edit boundary
+    hashes identically to the original's, and a corpus of near-copies
+    stores each shared chunk once. This is how a 100-TB crawl archive
+    dedups re-fetched pages that changed one header. Inherently
+    sequential per document → Arrow-batched mapInPandas (the legitimate
+    Python path), embarrassingly parallel across documents, no shuffle;
+    the downstream chunk-hash rollup is the only exchange. Emits
+    (doc_id, chunk_idx, start, length, md5-of-chunk); chunks partition
+    the byte string exactly (pinned in tests/test_dedup.py along with
+    the resync property)."""
+    import hashlib
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    gear = _gear_table()
+    mask = (1 << mask_bits) - 1
+    m64 = (1 << 64) - 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for doc_id, text in zip(b["doc_id"], b[text_col]):
+                data = str(text).encode("utf-8")
+                h = 0
+                start = 0
+                idx = 0
+                for i, byte in enumerate(data):
+                    h = ((h << 1) + gear[byte]) & m64
+                    ln = i - start + 1
+                    if (ln >= min_len and (h & mask) == 0) or ln >= max_len:
+                        chunk = data[start:i + 1]
+                        out.append((int(doc_id), idx, start, ln,
+                                    hashlib.md5(chunk).hexdigest()))
+                        start = i + 1
+                        idx += 1
+                        h = 0
+                if start < len(data):
+                    chunk = data[start:]
+                    out.append((int(doc_id), idx, start, len(chunk),
+                                hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "chunk_idx", "start", "length",
+                              "chunk_hash"])
+
+    return df.select("doc_id", text_col).mapInPandas(run, CDC_SCHEMA)
