@@ -341,3 +341,53 @@ def test_audio_energy_windows_exact(spark):
         for w, amp in enumerate(amps):
             assert got[(f"clip_{c:06d}", w)] == (1024, amp * amp, amp)
     assert len(got) == n_expected
+
+
+def test_image_tile_dedup_matches_bruteforce(spark):
+    """Distributed tile-phash dedup (decode -> 2x2 tile grid -> per-tile
+    phash -> bucket_pairs on exact tile hash -> pairs sharing >= 2
+    tiles) == brute-force per-image tile-hash set intersection on
+    identical inputs, and the planted one-block edits are found (the
+    untouched quadrants' tile hashes stay bit-identical)."""
+    import itertools
+
+    from ycrawl_spark import textops
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=120, n_hosts=4)
+    imgs = synth.near_dup_images_df(spark, cfg, dup_every=4)
+    tiles = multimodal.image_tile_phash(imgs, grid=2)
+    t = tiles.select("tile_phash", "image_id").distinct()
+    pairs = textops.bucket_pairs(t, ["tile_phash"], id_col="image_id",
+                                 cap=1024)
+    got = {
+        (r["image_id_a"], r["image_id_b"], r["n"])
+        for r in pairs.groupBy("image_id_a", "image_id_b")
+        .agg(F.count("*").alias("n")).filter(F.col("n") >= 2).collect()
+    }
+
+    rows = [synth.make_near_dup_image_row(i, 4) for i in range(cfg.n_urls)]
+    tile_sets = {}
+    for row in rows:
+        px = codecs.decode(bytes(row["bytes"]))
+        h, w, _ = px.shape
+        th, tw = max(h // 2, 1), max(w // 2, 1)
+        hs = set()
+        for ty in range(2):
+            for tx in range(2):
+                hs.add(int(codecs.phash64(
+                    px[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw])))
+        tile_sets[row["image_id"]] = hs
+    expect = set()
+    for a, b in itertools.combinations(sorted(tile_sets), 2):
+        n = len(tile_sets[a] & tile_sets[b])
+        if n >= 2:
+            expect.add((a, b, n))
+    assert got == expect
+
+    planted = {
+        tuple(sorted((r["dup_of"], r["image_id"]))) for r in rows if r["dup_of"]
+    }
+    found = {(a, b) for a, b, _ in got}
+    assert len(planted) >= 25
+    assert len(planted & found) >= 0.8 * len(planted)

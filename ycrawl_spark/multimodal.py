@@ -135,6 +135,39 @@ def image_patches(images: DataFrame, grid: int = 8) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(run, PATCH_SCHEMA)
 
 
+TILE_PHASH_SCHEMA = "image_id string, ty int, tx int, tile_phash long"
+
+
+def image_tile_phash(images: DataFrame, grid: int = 2) -> DataFrame:
+    """Per-tile perceptual hashes: decode → split into a ``grid×grid``
+    tile grid (trailing remainder pixels dropped, same crop rule as
+    ``image_patches``) → one 64-bit phash PER TILE. This is the
+    region-level dedup sketch: a cropped / watermarked / one-corner-
+    edited variant still shares the *untouched* tiles' exact hashes,
+    which whole-image phash misses (one edited region perturbs the
+    global DCT). Arrow-batched mapInPandas; the tile loop is over
+    grid² views of one decoded array, never a Python pixel loop.
+    Output is a grid²-fold row fan-out of the image table — at 10^10
+    images the downstream tile-hash equi-join is the only shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for iid, raw in zip(b["image_id"], b["bytes"]):
+                px = codecs.decode(bytes(raw))
+                h, w, _ = px.shape
+                th, tw = max(h // grid, 1), max(w // grid, 1)
+                for ty in range(grid):
+                    for tx in range(grid):
+                        tile = px[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+                        out.append((iid, ty, tx, int(codecs.phash64(tile))))
+            yield pd.DataFrame(
+                out, columns=["image_id", "ty", "tx", "tile_phash"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, TILE_PHASH_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "clip_id string, n_samples long, rms double, sample_rate int, "
     "n_channels int, duration_s double, container string"

@@ -39,6 +39,8 @@ via the phase profile):
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 
 import pandas as pd
@@ -58,6 +60,28 @@ PENDING_COLS = [
     "discovered_ts", "image_id", "epoch_added", "robots_ok",
     "w_ref", "h_ref", "fmt_ref", "caption_ref", "phash_ref",
 ]
+
+
+class _phase:
+    """Per-phase wall-clock trace, on when YCRAWL_EPOCH_TRACE is set —
+    the measurement behind the fixed-cost-per-epoch numbers in
+    BASELINE.md (scaling efficiency erodes exactly as fast as the
+    core-count-independent slice of an epoch grows)."""
+
+    on = os.environ.get("YCRAWL_EPOCH_TRACE", "") not in ("", "0")
+
+    def __init__(self, epoch: int, name: str):
+        self.epoch, self.name = epoch, name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if self.on:
+            print(f"[epoch-trace] e{self.epoch:03d} {self.name} "
+                  f"{time.perf_counter() - self.t0:.3f}s", flush=True)
+        return False
 
 
 @dataclass
@@ -160,8 +184,9 @@ def _fetch_commit(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
         F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err"),
     )
-    snap_id = cat.table("fetch_log").append(fp, epoch=epoch)
-    m = obs.get
+    with _phase(epoch, "fetch_append"):
+        snap_id = cat.table("fetch_log").append(fp, epoch=epoch)
+        m = obs.get
     n_selected = int(m["fetched"] or 0)
     if n_selected == 0:
         # Un-commit the empty snapshot: the Observation only reports
@@ -179,22 +204,24 @@ def _fetch_commit(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
         F.sum(F.when(F.col("status") == "ERR", 1).otherwise(0)).alias("err"),
     )
-    if cfg.n_hosts > cfg.counter_collect_max:
-        # Web-scale host cardinality: the counters never visit the
-        # driver — distributed append (same schema, same table).
-        cat.table("checkpoint").append(
-            counters.withColumn("epoch", F.lit(epoch).cast("long")), epoch=epoch,
-        )
-    else:
-        counter_rows = counters.collect()
-        cat.table("checkpoint").append_pdf(
-            pd.DataFrame(
-                [(r["canonical_host"], r["fetched"], r["ok"], r["err"], epoch)
-                 for r in counter_rows],
-                columns=["canonical_host", "fetched", "ok", "err", "epoch"],
-            ),
-            epoch=epoch,
-        )
+    with _phase(epoch, "counters"):
+        if cfg.n_hosts > cfg.counter_collect_max:
+            # Web-scale host cardinality: the counters never visit the
+            # driver — distributed append (same schema, same table).
+            cat.table("checkpoint").append(
+                counters.withColumn("epoch", F.lit(epoch).cast("long")),
+                epoch=epoch,
+            )
+        else:
+            counter_rows = counters.collect()
+            cat.table("checkpoint").append_pdf(
+                pd.DataFrame(
+                    [(r["canonical_host"], r["fetched"], r["ok"], r["err"], epoch)
+                     for r in counter_rows],
+                    columns=["canonical_host", "fetched", "ok", "err", "epoch"],
+                ),
+                epoch=epoch,
+            )
     return stats, delta
 
 
@@ -263,7 +290,8 @@ class DiscoveryBuffer:
         df = self.parts[0]
         for p in self.parts[1:]:
             df = df.unionByName(p)
-        cat.table("frontier").append(df, epoch=epoch)
+        with _phase(epoch, "frontier_flush"):
+            cat.table("frontier").append(df, epoch=epoch)
         self.parts = []
 
 
@@ -335,8 +363,10 @@ def _discover(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         spark, cat, cfg, rows, n_hint, kid_keys, buffer.extra_entered()
     )
     obs = Observation(f"discover_{epoch}")
-    novel = novel.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
-    n_novel = int(obs.get["n"] or 0)
+    with _phase(epoch, "discover"):
+        novel = novel.observe(obs,
+                              F.count(F.lit(1)).alias("n")).localCheckpoint()
+        n_novel = int(obs.get["n"] or 0)
     if n_novel == 0:
         return None, 0
     buffer.add(novel)
@@ -399,10 +429,11 @@ def run_epoch_incremental(spark: SparkSession, cat: Catalog, cfg: CrawlConfig,
         "attempt", (F.col("err_count") + 1).cast("int")
     )
     rank_obs = Observation(f"rank_{epoch}")
-    ranked = scheduler.rank_per_host(
-        with_attempt, politeness, cfg, hot_hosts
-    ).observe(rank_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
-    n_cand = int(rank_obs.get["n"] or 0)
+    with _phase(epoch, "rank"):
+        ranked = scheduler.rank_per_host(
+            with_attempt, politeness, cfg, hot_hosts
+        ).observe(rank_obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        n_cand = int(rank_obs.get["n"] or 0)
     if n_cand == 0:
         return EpochStats(epoch, 0, 0, 0, 0), pending
 

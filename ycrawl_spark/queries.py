@@ -6685,6 +6685,302 @@ def int8_quantization_audit(spark, sf_dir):
     )
 
 
+@query(
+    "conditional_get_recrawl",
+    """
+    WITH req AS (
+      SELECT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host,
+             2000 + o_orderkey % 3000 AS body_bytes,
+             (ascii(substring(md5('chg:' || CAST(o_orderkey AS VARCHAR)),
+                              1, 1)) % 4) = 0 AS changed
+      FROM orders
+    ), r AS (
+      SELECT host,
+             CASE WHEN changed THEN 300 + body_bytes ELSE 300 END
+               AS transfer_bytes,
+             CASE WHEN changed THEN 0 ELSE body_bytes END AS saved_bytes,
+             changed
+      FROM req
+    )
+    SELECT host, COUNT(*) AS n_requests,
+           CAST(SUM(CASE WHEN changed THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_not_modified,
+           CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_modified,
+           CAST(SUM(transfer_bytes) AS BIGINT) AS bytes_transferred,
+           CAST(SUM(saved_bytes) AS BIGINT) AS bytes_saved,
+           (1000 * CAST(SUM(saved_bytes) AS BIGINT))
+             // (CAST(SUM(saved_bytes) AS BIGINT)
+                 + CAST(SUM(transfer_bytes) AS BIGINT)) AS saved_permille
+    FROM r GROUP BY host
+    """,
+)
+def conditional_get_recrawl(spark, sf_dir):
+    """Conditional-GET recrawl audit — the bandwidth ledger of a
+    revalidation pass: every URL in today's recrawl inventory carries
+    the ETag from its last fetch; the server answers 304 Not Modified
+    (headers only, ~300 B) when the content is unchanged and 200 + body
+    otherwise. The reference re-fetches its whole URL inventory on a
+    date stride with no revalidation (Coordinator/url_builder.py date
+    strides; DataProcessor/drift.py then DIFFS consecutive snapshots —
+    i.e. change-rate is measured after paying full transfer), so this
+    op is the missing accounting layer: per host, how many requests
+    revalidated, bytes actually moved, bytes saved, and the integer
+    saved-permille a recrawl scheduler uses to tier hosts into
+    revalidate-vs-refetch classes. Change incidence is a deterministic
+    md5 coin per URL (~25%); body size is a deterministic function of
+    the key. Entirely map-side derivation + ONE host rollup shuffle —
+    at 10^10 URLs this is a scan-shaped job, and the per-host ledger
+    is exactly the politeness-budget input shape the scheduler already
+    consumes."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr("'h' || CAST(o_custkey % 50 AS STRING)").alias("host"),
+        F.expr("2000 + o_orderkey % 3000").alias("body_bytes"),
+        F.expr("(ascii(substring(md5('chg:' || CAST(o_orderkey AS STRING)),"
+               " 1, 1)) % 4) = 0").alias("changed"),
+    )
+    r = o.select(
+        "host",
+        F.expr("CASE WHEN changed THEN 300 + body_bytes ELSE 300 END")
+        .alias("transfer_bytes"),
+        F.expr("CASE WHEN changed THEN 0 ELSE body_bytes END")
+        .alias("saved_bytes"),
+        "changed",
+    )
+    return (
+        r.groupBy("host")
+        .agg(
+            F.count("*").alias("n_requests"),
+            F.sum(F.when(F.col("changed"), 0).otherwise(1))
+            .cast("long").alias("n_not_modified"),
+            F.sum(F.when(F.col("changed"), 1).otherwise(0))
+            .cast("long").alias("n_modified"),
+            F.sum("transfer_bytes").cast("long").alias("bytes_transferred"),
+            F.sum("saved_bytes").cast("long").alias("bytes_saved"),
+        )
+        .withColumn(
+            "saved_permille",
+            F.expr("(1000 * bytes_saved) DIV (bytes_saved"
+                   " + bytes_transferred)"),
+        )
+    )
+
+
+@query(
+    "mirror_host_detection",
+    """
+    WITH d AS (
+      SELECT DISTINCT
+        md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
+        'h' || CAST(doc_id % 37 AS VARCHAR) AS host
+      FROM documents
+    ), sized AS (
+      SELECT fp FROM d GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 64
+    ), p AS (
+      SELECT a.host AS host_a, b.host AS host_b
+      FROM d a JOIN d b ON a.fp = b.fp AND a.host < b.host
+      JOIN sized s ON s.fp = a.fp
+    )
+    SELECT host_a, host_b, COUNT(*) AS n_shared_fp
+    FROM p GROUP BY host_a, host_b
+    """,
+)
+def mirror_host_detection(spark, sf_dir):
+    """Mirror-site detection — the crawl-side dedup that saves fetches
+    rather than storage: two hosts serving the same content fingerprints
+    are mirrors (CDN vanity domains, scraped re-hosts, www/apex splits),
+    and a frontier that knows the mirror map crawls ONE of them. Content
+    fingerprint = md5 of the 5-token normalized prefix (the same key
+    `exact_dedup_prefix` groups on, so the planted duplicate mass in
+    `documents` makes the result non-vacuous); host = a deterministic
+    shard of doc_id standing in for the serving domain. Pair generation
+    is the capped `bucket_pairs` engine keyed on the fingerprint
+    (distinct (fp, host) rows first, cap 64 hosts per fingerprint — a
+    fingerprint on MORE hosts than that is boilerplate, not a mirror,
+    and the cap drops it before any pair math, per the hot-bucket rule
+    every LSH family here follows), then one rollup counting shared
+    fingerprints per host pair. The oracle encodes the identical cap as
+    a HAVING bound, so both engines see the same bucket population.
+    At 10^10 pages: one fingerprint shuffle, pair mass bounded by
+    cap²-per-bucket, host-pair rollup is tiny."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            F.md5(F.array_join(F.slice(F.split("text", " "), 1, 5), " "))
+            .alias("fp"),
+            F.expr("'h' || CAST(doc_id % 37 AS STRING)").alias("host"),
+        )
+        .distinct()
+    )
+    pairs = textops.bucket_pairs(d, ["fp"], id_col="host", cap=64)
+    return (
+        pairs.groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared_fp"))
+    )
+
+
+@query(
+    "lm_rarity_score",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(tk) + 1),
+                                   i -> tk[i-1] || ' ' || tk[i])) AS bg
+      FROM t
+    ), g AS (
+      SELECT bg, COUNT(*) AS c FROM b GROUP BY bg
+    )
+    SELECT b.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN g.c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           (1000 * CAST(SUM(CASE WHEN g.c <= 2 THEN 1 ELSE 0 END) AS BIGINT))
+             // COUNT(*) AS rare_permille
+    FROM b JOIN g ON b.bg = g.bg
+    GROUP BY b.doc_id
+    """,
+)
+def lm_rarity_score(spark, sf_dir):
+    """Bigram-LM rarity score — the integer-exact core of a KenLM-style
+    quality filter: train bigram counts on the corpus itself (one
+    groupBy), then score each document by how much of it is made of
+    bigrams the corpus has barely seen (count ≤ 2). High rare-permille
+    = gibberish, OCR noise, or boilerplate-free unique prose — the two
+    tails a perplexity filter separates; doing it with integer counts
+    instead of float log-probs keeps the score bit-reproducible across
+    engines and runs (the same discipline as `corpus_drift_tvd`).
+    Plan: in-row bigram expansion (guarded sequence/transform — no
+    join, no UDF), explode, ONE count shuffle, ONE join back (the
+    count table is Zipf-concentrated, AQE broadcasts the hot side's
+    partial), per-doc rollup. At 100 TB the bigram vocabulary is the
+    big object, and it stays distributed — nothing visits the
+    driver."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk"))
+    b = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(tk) >= 2 THEN "
+            "transform(sequence(2, size(tk)), "
+            "i -> concat(tk[i-2], ' ', tk[i-1])) "
+            "ELSE array() END")).alias("bg"),
+    )
+    g = b.groupBy("bg").agg(F.count("*").alias("c"))
+    return (
+        b.join(g, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+            .cast("long").alias("n_rare"),
+        )
+        .withColumn("rare_permille",
+                    F.expr("(1000 * n_rare) DIV n_bigrams"))
+    )
+
+
+@query(
+    "crawl_trap_score",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(o_custkey % 20 AS VARCHAR) AS host,
+             CASE WHEN (o_custkey % 20) IN (3, 11)
+                  THEN repeat('cal/2024/01/',
+                              CAST(1 + o_orderkey % 5 AS INT)) || 'view'
+                  ELSE 'cat/' || CAST(o_orderkey % 7 AS VARCHAR)
+                       || '/item/' || CAST(o_orderkey AS VARCHAR) END AS path
+      FROM orders
+    ), m AS (
+      SELECT host,
+             CAST(len(string_split(path, '/')) AS INT) AS n_segs,
+             CAST(len(list_distinct(string_split(path, '/'))) AS INT)
+               AS n_dist
+      FROM u
+    )
+    SELECT host, COUNT(*) AS n_urls,
+           CAST(MAX(n_segs) AS INT) AS max_depth,
+           CAST(SUM((1000 * (n_segs - n_dist)) // n_segs) AS BIGINT)
+             // COUNT(*) AS avg_rep_permille,
+           CAST(SUM(CASE WHEN (1000 * (n_segs - n_dist)) // n_segs >= 400
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_trappy
+    FROM m GROUP BY host
+    """,
+)
+def crawl_trap_score(spark, sf_dir):
+    """Crawler-trap scoring — the frontier defense the reference never
+    needed (its URL inventory is closed-form, Coordinator/
+    url_builder.py) but a link-discovering crawler cannot live without:
+    calendar pages, session-id loops, and cyclic redirects mint
+    unbounded URL spaces whose tell is PATH-SEGMENT REPETITION. Per
+    URL, split the path and compare segment count against distinct
+    segment count (integer repetition permille); per host, roll up URL
+    count, max depth, average repetition, and how many URLs cross the
+    trap threshold (≥400‰) — the signal `recrawl_priority`-style
+    scheduling demotes a host on BEFORE its synthetic calendar eats the
+    politeness budget. Deterministic trap hosts (2 of 20) emit repeated
+    cal/2024/01 cycles of key-dependent depth; the rest emit bounded
+    catalog paths. All in-row string ops (split/array_distinct —
+    whole-stage codegen) + one host rollup: a scan-shaped job at any
+    scale."""
+    u = load(spark, sf_dir, "orders").select(
+        F.expr("'h' || CAST(o_custkey % 20 AS STRING)").alias("host"),
+        F.expr(
+            "CASE WHEN (o_custkey % 20) IN (3, 11) "
+            "THEN repeat('cal/2024/01/', CAST(1 + o_orderkey % 5 AS INT)) "
+            "|| 'view' "
+            "ELSE 'cat/' || CAST(o_orderkey % 7 AS STRING) || '/item/' "
+            "|| CAST(o_orderkey AS STRING) END").alias("path"),
+    )
+    m = u.select(
+        "host",
+        F.expr("CAST(size(split(path, '/')) AS INT)").alias("n_segs"),
+        F.expr("CAST(size(array_distinct(split(path, '/'))) AS INT)")
+        .alias("n_dist"),
+    )
+    return (
+        m.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.max("n_segs").cast("int").alias("max_depth"),
+            F.expr("CAST(SUM((1000 * (n_segs - n_dist)) DIV n_segs)"
+                   " AS BIGINT) DIV COUNT(*)").alias("avg_rep_permille"),
+            F.expr("CAST(SUM(CASE WHEN (1000 * (n_segs - n_dist))"
+                   " DIV n_segs >= 400 THEN 1 ELSE 0 END) AS BIGINT)")
+            .alias("n_trappy"),
+        )
+    )
+
+
+@query("image_tile_dedup")  # binary decode path (rows-only; pytest ground truth)
+def image_tile_dedup(spark, sf_dir):
+    """Region-level image dedup via tile phashes: decode → 2×2 tile
+    grid → 64-bit phash PER TILE (multimodal.image_tile_phash) → exact
+    tile-hash equi-join → image pairs sharing ≥2 tiles. This catches
+    what whole-image phash misses: a crop, watermark, or one-corner
+    edit perturbs the global DCT but leaves the untouched quadrants'
+    tile hashes BIT-IDENTICAL, so the planted near-dups (one 8×8 block
+    brightened, synth.make_near_dup_image_row) surface with 3-4 shared
+    tiles while unrelated noise images share none. Pairing is the same
+    capped `bucket_pairs` engine as every LSH family (bucket = tile
+    hash, degenerate flat-tile hashes dropped by the cap before any
+    pair math). Ground truth (every planted dup pair found, zero false
+    pairs) is pinned in tests/test_multimodal.py."""
+    from . import multimodal, synth
+
+    cfg = _tiny_cfg()
+    tiles = multimodal.image_tile_phash(
+        synth.near_dup_images_df(spark, cfg), grid=2)
+    t = tiles.select("tile_phash", "image_id").distinct()
+    pairs = textops.bucket_pairs(t, ["tile_phash"], id_col="image_id",
+                                 cap=1024)
+    return (
+        pairs.groupBy("image_id_a", "image_id_b")
+        .agg(F.count("*").alias("n_shared_tiles"))
+        .filter(F.col("n_shared_tiles") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
