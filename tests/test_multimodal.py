@@ -391,3 +391,32 @@ def test_image_tile_dedup_matches_bruteforce(spark):
     found = {(a, b) for a, b, _ in got}
     assert len(planted) >= 25
     assert len(planted & found) >= 0.8 * len(planted)
+
+
+def test_image_border_crop_exact(spark):
+    """Distributed border detection == the planted pad thickness for
+    every image (exact crop box, exact permille), across all codecs
+    including lossy (constant border quantizes to a constant)."""
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=150, n_hosts=4)
+    imgs = synth.bordered_images_df(spark, cfg)
+    got = {
+        r["image_id"]: (r["y0"], r["y1"], r["x0"], r["x1"],
+                        r["border_permille"])
+        for r in multimodal.image_border_crop(imgs).collect()
+    }
+    fmts = set()
+    n_with_border = 0
+    for i in range(cfg.n_urls):
+        row = synth.make_bordered_image_row(i)
+        ty, tx, w, h = row["pad_top"], row["pad_left"], row["w"], row["h"]
+        fmts.add(row["fmt"])
+        n_with_border += int(ty > 0 or tx > 0)
+        content = (h - 2 * ty) * (w - 2 * tx)
+        expect = (ty, h - ty, tx, w - tx,
+                  (1000 * (w * h - content)) // (w * h))
+        assert got[row["image_id"]] == expect, row["image_id"]
+    assert len(got) == cfg.n_urls
+    assert fmts == {"raw", "ppm", "lossy"}  # every codec branch exercised
+    assert n_with_border >= 100  # borders actually planted

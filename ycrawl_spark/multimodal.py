@@ -168,6 +168,54 @@ def image_tile_phash(images: DataFrame, grid: int = 2) -> DataFrame:
         run, TILE_PHASH_SCHEMA)
 
 
+BORDER_CROP_SCHEMA = (
+    "image_id string, w int, h int, y0 int, y1 int, x0 int, x1 int, "
+    "border_permille int"
+)
+
+
+def image_border_crop(images: DataFrame) -> DataFrame:
+    """Letterbox/pillarbox detection — the preprocessing step a training
+    pipeline runs BEFORE patchify/resize, because a black frame around
+    a photo poisons aspect-bucket assignment, patch statistics, and
+    phash alike. Decode, then count maximal runs of bit-uniform rows
+    from the top/bottom and bit-uniform columns from the left/right
+    (a row is border iff every pixel equals its first pixel — content
+    is photographic noise, so a false uniform row has ~0 probability;
+    the synthetic codecs keep constant borders exactly uniform through
+    lossy round trips). Output is the content crop box [y0,y1)×[x0,x1)
+    plus the border mass in integer permille; a fully-uniform image
+    (no content) reports the full frame as the box with
+    border_permille=1000 rather than a degenerate empty crop. All
+    numpy axis reductions per image — no per-pixel Python. One
+    Arrow-batched mapInPandas pass; scan-shaped at any corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for iid, raw in zip(b["image_id"], b["bytes"]):
+                px = codecs.decode(bytes(raw))
+                h, w, _ = px.shape
+                rows_u = (px == px[:, :1, :]).all(axis=(1, 2))
+                cols_u = (px == px[:1, :, :]).all(axis=(0, 2))
+                if rows_u.all() or cols_u.all():
+                    out.append((iid, w, h, 0, h, 0, w, 1000))
+                    continue
+                y0 = int(np.argmin(rows_u))
+                y1 = h - int(np.argmin(rows_u[::-1]))
+                x0 = int(np.argmin(cols_u))
+                x1 = w - int(np.argmin(cols_u[::-1]))
+                content = (y1 - y0) * (x1 - x0)
+                out.append((iid, w, h, y0, y1, x0, x1,
+                            (1000 * (w * h - content)) // (w * h)))
+            yield pd.DataFrame(
+                out, columns=["image_id", "w", "h", "y0", "y1", "x0", "x1",
+                              "border_permille"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, BORDER_CROP_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = (
     "clip_id string, n_samples long, rms double, sample_rate int, "
     "n_channels int, duration_s double, container string"

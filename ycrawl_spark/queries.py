@@ -6981,6 +6981,369 @@ def image_tile_dedup(spark, sf_dir):
     )
 
 
+@query("image_border_crop")  # binary decode path (rows-only; pytest ground truth)
+def image_border_crop(spark, sf_dir):
+    """Letterbox/pillarbox crop detection over the image table: decode →
+    uniform-run border scan → content crop box + border permille
+    (multimodal.image_border_crop), then a rollup by detected border
+    class (none / letterbox / pillarbox / both) counting images and
+    average border mass — the audit a preprocessing pipeline reads
+    before deciding to crop. Planted ground truth (pad_top/pad_left on
+    every synthesized row) is pinned exactly in
+    tests/test_multimodal.py; this entry exercises the identical
+    distributed path. Scan-shaped: one mapInPandas decode pass + one
+    tiny class rollup."""
+    from . import multimodal, synth
+
+    boxes = multimodal.image_border_crop(
+        synth.bordered_images_df(spark, _tiny_cfg()))
+    cls = boxes.withColumn(
+        "border_class",
+        F.expr(
+            "CASE WHEN y0 > 0 AND x0 > 0 THEN 'both'"
+            " WHEN y0 > 0 THEN 'letterbox'"
+            " WHEN x0 > 0 THEN 'pillarbox' ELSE 'none' END"),
+    )
+    return cls.groupBy("border_class").agg(
+        F.count("*").alias("n_images"),
+        F.expr("CAST(SUM(border_permille) AS BIGINT) DIV COUNT(*)")
+        .alias("avg_border_permille"),
+    )
+
+
+@query(
+    "ip_politeness_rollup",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(o_custkey % 150 AS VARCHAR) AS host FROM orders
+    ), hi AS (
+      SELECT host,
+             'ip' || CAST((ascii(substring(md5('ip:' || host), 1, 1)) * 31
+                           + ascii(substring(md5('ip:' || host), 2, 1))) % 40
+                          AS VARCHAR) AS ip,
+             COUNT(*) AS n_urls
+      FROM u GROUP BY host
+    )
+    SELECT ip, COUNT(*) AS n_hosts,
+           CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+           64 // COUNT(*) AS per_host_quota,
+           (1000 * CAST(MAX(n_urls) AS BIGINT))
+             // CAST(SUM(n_urls) AS BIGINT) AS top_host_share_permille
+    FROM hi GROUP BY ip
+    """,
+)
+def ip_politeness_rollup(spark, sf_dir):
+    """IP-level politeness rollup — the virtual-hosting defense: many
+    hostnames resolving to ONE server (shared hosting, CDN edges,
+    vanity domains) must share one politeness budget, or a crawler
+    that is polite per-HOST still hammers the box behind them at
+    n_hosts× the intended rate. The reference budgets strictly per
+    host string (Coordinator dispatch counters keyed on host); this
+    op is the missing collapse: deterministic host→IP resolution
+    (md5-derived, standing in for a DNS snapshot table), then a
+    per-IP rollup of co-hosted host count, URL mass, the divided
+    per-host quota (64 DIV n_hosts — the number the scheduler's
+    per-host budget column should be clamped to), and the hottest
+    host's share in integer permille (skew inside the IP group).
+    Two cascaded aggregations, both map-side-combinable; the DNS
+    snapshot join this stands in for is a broadcast at any scale
+    (the IP table is ~hosts-sized, never URL-sized)."""
+    u = load(spark, sf_dir, "orders").select(
+        F.expr("'h' || CAST(o_custkey % 150 AS STRING)").alias("host"))
+    hi = u.groupBy("host").agg(F.count("*").alias("n_urls")).select(
+        F.expr(
+            "'ip' || CAST((ascii(substring(md5('ip:' || host), 1, 1)) * 31"
+            " + ascii(substring(md5('ip:' || host), 2, 1))) % 40 AS STRING)"
+        ).alias("ip"),
+        "n_urls",
+    )
+    return hi.groupBy("ip").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("n_urls").cast("long").alias("n_urls"),
+        F.expr("64 DIV COUNT(*)").alias("per_host_quota"),
+        F.expr("(1000 * CAST(MAX(n_urls) AS BIGINT))"
+               " DIV CAST(SUM(n_urls) AS BIGINT)")
+        .alias("top_host_share_permille"),
+    )
+
+
+@query(
+    "hreflang_variant_cluster",
+    """
+    WITH v AS (
+      SELECT 'pg' || CAST(p_partkey // 4 AS VARCHAR) AS page,
+             CASE p_partkey % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                  WHEN 2 THEN 'fr' ELSE 'ja' END AS lang
+      FROM part
+      WHERE (ascii(substring(md5('v:' || CAST(p_partkey AS VARCHAR)),
+                             1, 1)) % 5) > 0
+    )
+    SELECT page, COUNT(*) AS n_variants,
+           array_to_string(list_sort(list(lang)), ',') AS langs,
+           CASE WHEN list_contains(list(lang), 'en') THEN 'en'
+                ELSE list_sort(list(lang))[1] END AS canonical_lang
+    FROM v GROUP BY page
+    """,
+)
+def hreflang_variant_cluster(spark, sf_dir):
+    """hreflang variant clustering — language-edition dedup at the
+    frontier: /en/, /de/, /fr/, /ja/ editions of one page are distinct
+    URLs with near-identical link structure, and a crawler that
+    doesn't cluster them crawls (and stores, and dedups downstream) 4×
+    the page mass. Variants cluster on the language-stripped page key;
+    per cluster the op reports edition count, the sorted edition list,
+    and the canonical pick (the 'en' edition when present, else the
+    lexicographically first — the deterministic tie-break rule
+    `dedupe_latest_order`-style keep-one ops use). ~20% of editions
+    are deterministically absent (md5 coin) so clusters are ragged,
+    not a trivial constant 4. One groupBy on the page key;
+    collect_list is bounded by the edition alphabet (≤4), so the
+    aggregate state is O(1) per cluster — safe at any page count."""
+    v = load(spark, sf_dir, "part").filter(
+        F.expr("(ascii(substring(md5('v:' || CAST(p_partkey AS STRING)),"
+               " 1, 1)) % 5) > 0")
+    ).select(
+        F.expr("'pg' || CAST(p_partkey DIV 4 AS STRING)").alias("page"),
+        F.expr("CASE p_partkey % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'"
+               " WHEN 2 THEN 'fr' ELSE 'ja' END").alias("lang"),
+    )
+    return v.groupBy("page").agg(
+        F.count("*").alias("n_variants"),
+        F.array_join(F.sort_array(F.collect_list("lang")), ",")
+        .alias("langs"),
+        F.when(F.array_contains(F.collect_list("lang"), "en"), "en")
+        .otherwise(F.element_at(F.sort_array(F.collect_list("lang")), 1))
+        .alias("canonical_lang"),
+    )
+
+
+@query(
+    "registrable_domain_rollup",
+    """
+    WITH h AS (
+      SELECT (CASE c_custkey % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+                   ELSE 'shop' END)
+             || '.ex' || CAST(c_custkey % 23 AS VARCHAR) || '.'
+             || (CASE c_custkey % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                      WHEN 2 THEN 'co.uk' WHEN 3 THEN 'com.au'
+                      ELSE 'github.io' END) AS host
+      FROM customer
+    ), t AS (
+      SELECT host, string_split(host, '.') AS tk FROM h
+    ), e AS (
+      SELECT host,
+             CASE WHEN tk[-2] || '.' || tk[-1]
+                       IN ('co.uk', 'com.au', 'github.io')
+                  THEN tk[-2] || '.' || tk[-1] ELSE tk[-1] END AS suffix,
+             CASE WHEN tk[-2] || '.' || tk[-1]
+                       IN ('co.uk', 'com.au', 'github.io')
+                  THEN tk[-3] || '.' || tk[-2] || '.' || tk[-1]
+                  ELSE tk[-2] || '.' || tk[-1] END AS registrable
+      FROM t
+    )
+    SELECT registrable, suffix, COUNT(DISTINCT host) AS n_hosts,
+           COUNT(*) AS n_urls
+    FROM e GROUP BY registrable, suffix
+    """,
+)
+def registrable_domain_rollup(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction + rollup — politeness and
+    dedup at the granularity that actually matters: `www.`, `cdn.`,
+    and `shop.` of one brand are one ORGANIZATION, and budgets,
+    seen-set sharding, and mirror detection should key on the
+    registrable domain, not the raw hostname. Naive last-two-labels
+    extraction is WRONG under multi-label public suffixes
+    (`a.co.uk` → `co.uk` is a suffix, not a site), so this implements
+    the public-suffix-list rule with a PSL-lite set (com/org single
+    label; co.uk/com.au/github.io multi-label — github.io being the
+    canonical private-PSL example where every user subdomain is its
+    own registrable): longest matching suffix wins, registrable =
+    suffix + one label. Pure in-row array ops on the split host (the
+    real PSL is a ~10k-row broadcast join — same plan shape), then one
+    rollup. Host synthesis crosses 3 subdomains × 23 brands × 5
+    suffixes so every PSL branch carries mass."""
+    h = load(spark, sf_dir, "customer").select(
+        F.expr(
+            "(CASE c_custkey % 3 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'"
+            " ELSE 'shop' END) || '.ex' || CAST(c_custkey % 23 AS STRING)"
+            " || '.' || (CASE c_custkey % 5 WHEN 0 THEN 'com'"
+            " WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk' WHEN 3 THEN 'com.au'"
+            " ELSE 'github.io' END)"
+        ).alias("host"))
+    t = h.select("host", F.expr("split(host, '\\\\.')").alias("tk"))
+    e = t.select(
+        "host",
+        F.expr(
+            "CASE WHEN concat_ws('.', element_at(tk, -2), element_at(tk, -1))"
+            " IN ('co.uk', 'com.au', 'github.io')"
+            " THEN concat_ws('.', element_at(tk, -2), element_at(tk, -1))"
+            " ELSE element_at(tk, -1) END").alias("suffix"),
+        F.expr(
+            "CASE WHEN concat_ws('.', element_at(tk, -2), element_at(tk, -1))"
+            " IN ('co.uk', 'com.au', 'github.io')"
+            " THEN concat_ws('.', element_at(tk, -3), element_at(tk, -2),"
+            " element_at(tk, -1))"
+            " ELSE concat_ws('.', element_at(tk, -2), element_at(tk, -1))"
+            " END").alias("registrable"),
+    )
+    return e.groupBy("registrable", "suffix").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.count("*").alias("n_urls"),
+    )
+
+
+@query(
+    "caption_filter_funnel",
+    """
+    WITH c AS (
+      SELECT source,
+             CASE WHEN (ascii(substring(md5('cap:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 1)) % 5) = 0
+                  THEN 'photo of ' ELSE '' END
+             || array_to_string(string_split(text, ' ')[1:8], ' ')
+             || CASE WHEN (ascii(substring(md5('url:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 1)) % 7) = 0
+                     THEN ' http://x.test/i.jpg' ELSE '' END AS caption
+      FROM documents
+    ), m AS (
+      SELECT source, string_split(caption, ' ') AS tk, caption FROM c
+    ), f AS (
+      SELECT source,
+             len(tk) BETWEEN 4 AND 24 AS p_len,
+             caption NOT LIKE 'photo of%'
+               AND caption NOT LIKE 'image of%' AS p_junk,
+             caption NOT LIKE '%http%' AS p_url,
+             (1000 * len(list_distinct(tk))) // len(tk) >= 600 AS p_rep
+      FROM m
+    )
+    SELECT source, COUNT(*) AS n_captions,
+           CAST(SUM(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_len,
+           CAST(SUM(CASE WHEN p_len AND p_junk THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_junk,
+           CAST(SUM(CASE WHEN p_len AND p_junk AND p_url
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_url,
+           CAST(SUM(CASE WHEN p_len AND p_junk AND p_url AND p_rep
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           (1000 * CAST(SUM(CASE WHEN p_len AND p_junk AND p_url AND p_rep
+                                 THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
+             AS kept_permille
+    FROM f GROUP BY source
+    """,
+)
+def caption_filter_funnel(spark, sf_dir):
+    """Caption filter funnel — the LAION-style alt-text triage for an
+    image+caption corpus: token-length window (4-24 — one-word and
+    keyword-stuffed alt text both fail), boilerplate-prefix rejection
+    ('photo of'/'image of' — the classic alt-text filler), embedded-URL
+    rejection, and repeated-token ratio (distinct/total ≥ 600‰). Rules
+    apply CUMULATIVELY so the per-source funnel shows where caption
+    mass dies — the report a data curator reads before re-weighting
+    sources (`mixture_sampling` consumes exactly this shape). Captions
+    are the documents' 8-token prefixes with deterministic md5-coin
+    junk injections (~20% boilerplate prefix, ~14% trailing URL) so
+    every gate fires on real mass. Pure in-row string/array ops
+    (whole-stage codegen) + ONE source rollup: scan-shaped at any
+    corpus size — the same plan this funnel compiles to over a 10^10
+    image-caption table."""
+    c = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "CASE WHEN (ascii(substring(md5('cap:' ||"
+            " CAST(doc_id AS STRING)), 1, 1)) % 5) = 0"
+            " THEN 'photo of ' ELSE '' END"
+            " || array_join(slice(split(text, ' '), 1, 8), ' ')"
+            " || CASE WHEN (ascii(substring(md5('url:' ||"
+            " CAST(doc_id AS STRING)), 1, 1)) % 7) = 0"
+            " THEN ' http://x.test/i.jpg' ELSE '' END").alias("caption"),
+    )
+    f = c.select(
+        "source",
+        F.expr("size(split(caption, ' ')) BETWEEN 4 AND 24").alias("p_len"),
+        F.expr("caption NOT LIKE 'photo of%'"
+               " AND caption NOT LIKE 'image of%'").alias("p_junk"),
+        F.expr("caption NOT LIKE '%http%'").alias("p_url"),
+        F.expr("(1000 * size(array_distinct(split(caption, ' '))))"
+               " DIV size(split(caption, ' ')) >= 600").alias("p_rep"),
+    )
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_captions"),
+        F.sum(F.when(F.col("p_len"), 1).otherwise(0)).cast("long")
+        .alias("n_pass_len"),
+        F.sum(F.when(F.col("p_len") & F.col("p_junk"), 1).otherwise(0))
+        .cast("long").alias("n_pass_junk"),
+        F.sum(F.when(F.col("p_len") & F.col("p_junk") & F.col("p_url"), 1)
+              .otherwise(0)).cast("long").alias("n_pass_url"),
+        F.sum(F.when(F.col("p_len") & F.col("p_junk") & F.col("p_url")
+                     & F.col("p_rep"), 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.expr(
+            "(1000 * CAST(SUM(CASE WHEN p_len AND p_junk AND p_url AND p_rep"
+            " THEN 1 ELSE 0 END) AS BIGINT)) DIV COUNT(*)")
+        .alias("kept_permille"),
+    )
+
+
+@query(
+    "mojibake_audit",
+    """
+    WITH d AS (
+      SELECT source,
+             CASE WHEN (ascii(substring(md5('moji:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 1)) % 6) = 0
+                  THEN replace(text, 'e', 'Ã©')
+                  ELSE text END AS t
+      FROM documents
+    ), m AS (
+      SELECT source,
+             (len(t) - len(replace(t, 'Ã©', ''))) // len('Ã©') AS n_moji,
+             len(t) AS n_chars
+      FROM d
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mojibake_docs,
+           CAST(SUM(n_moji) AS BIGINT) AS n_sequences,
+           (1000 * CAST(SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT)) // COUNT(*) AS doc_permille
+    FROM m GROUP BY source
+    """,
+)
+def mojibake_audit(spark, sf_dir):
+    """Mojibake (double-encoded UTF-8) audit — the charset-corruption
+    tripwire for crawled text: a UTF-8 page declared latin-1 somewhere
+    in its pipeline turns every é into the two-character 'Ã©' tell, and
+    a corpus-level counter of that signature per source is how a crawl
+    finds the misbehaving upstream before the tokens poison training
+    (the tokenizer sees the corruption as novel vocabulary —
+    `oov_rate_by_source` inflates exactly where this fires). Corruption
+    is planted deterministically (~1/6 of docs get the é→Ã© rewrite);
+    detection counts signature occurrences via the subtract-replaced-
+    length identity — pure string ops both engines execute identically
+    on the same UTF-8, no regex engine divergence risk. In-row work +
+    ONE source rollup: scan-shaped at any scale."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "CASE WHEN (ascii(substring(md5('moji:' ||"
+            " CAST(doc_id AS STRING)), 1, 1)) % 6) = 0"
+            " THEN replace(text, 'e', 'Ã©') ELSE text END").alias("t"),
+    )
+    m = d.select(
+        "source",
+        F.expr("(length(t) - length(replace(t, 'Ã©', '')))"
+               " DIV length('Ã©')").alias("n_moji"),
+    )
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_moji") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_mojibake_docs"),
+        F.sum("n_moji").cast("long").alias("n_sequences"),
+        F.expr("(1000 * CAST(SUM(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END)"
+               " AS BIGINT)) DIV COUNT(*)").alias("doc_permille"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #

@@ -96,18 +96,35 @@ def rank_per_host(candidates: DataFrame, politeness: DataFrame,
     # superset of the true per-host top-B; rows beyond it are certain
     # losers and bypass phase 2 entirely (no second shuffle for them).
     w1 = W.partitionBy("canonical_host", "_salt").orderBy(*_order())
-    tagged = salted.withColumn("_r1", F.row_number().over(w1)).drop("_hot")
+    tagged = salted.withColumn("_r1", F.row_number().over(w1))
     losers = tagged.filter(F.col("_r1") > F.col("max_per_epoch")).drop(
-        "_r1", "_salt"
+        "_r1", "_salt", "_hot"
     ).withColumn("host_rank", F.lit(None).cast("int"))
+    survivors = tagged.filter(F.col("_r1") <= F.col("max_per_epoch"))
 
-    # Phase 2: exact per-host rank over the (bounded) survivors.
-    w2 = W.partitionBy("canonical_host").orderBy(*_order())
-    ranked = (
-        tagged.filter(F.col("_r1") <= F.col("max_per_epoch"))
-        .drop("_r1", "_salt")
-        .withColumn("host_rank", F.row_number().over(w2))
-    )
+    # Phase 2: exact per-host re-rank, needed ONLY where salting split a
+    # host across partitions. For every non-hot host _salt is the
+    # constant 0, so the phase-1 window already ranked the whole host —
+    # _r1 IS the exact host rank, and re-windowing those rows would be a
+    # second full shuffle that recomputes what phase 1 proved (the
+    # dominant per-epoch fixed cost on a crawl with no hot hosts, which
+    # is the steady state: salting is the exception, not the rule).
+    if hot_hosts is not None and not hot_hosts:
+        # Statically known: nothing is salted — one shuffle total.
+        ranked = survivors.withColumn("host_rank", F.col("_r1")).drop(
+            "_r1", "_salt", "_hot")
+    else:
+        w2 = W.partitionBy("canonical_host").orderBy(*_order())
+        cold = survivors.filter(F.col("_hot").isNull()).withColumn(
+            "host_rank", F.col("_r1")).drop("_r1", "_salt", "_hot")
+        hot_ranked = (
+            survivors.filter(F.col("_hot").isNotNull())
+            .drop("_r1", "_salt", "_hot")
+            .withColumn("host_rank", F.row_number().over(w2))
+        )
+        # The phase-2 shuffle moves only hot-host survivors (≤ n_salt·B
+        # per hot host); cold hosts ride through shuffle-free.
+        ranked = cold.unionByName(hot_ranked)
     return ranked.unionByName(losers)
 
 

@@ -216,6 +216,55 @@ def near_dup_images_df(spark, cfg: CrawlConfig, dup_every: int = 4):
     )
 
 
+BORDERED_IMAGES_SCHEMA = IMAGES_SCHEMA + ", pad_top int, pad_left int"
+
+
+def make_bordered_image_row(i: int) -> dict:
+    """Image row ``i`` letterboxed/pillarboxed: the base pixels wrapped
+    in a constant-black border of deterministic per-image thickness
+    (0-6 px per axis, independent top/bottom vs left/right — ~1/7 of
+    images get none on an axis, so the no-border branch carries mass).
+    Every codec here keeps a constant border bit-uniform through the
+    encode/decode round trip (lossy quantization maps a constant to a
+    constant), so exact uniform-run detection is the correct decoder-
+    side recovery. ``pad_top``/``pad_left`` are the ground truth the
+    border-crop test pins against."""
+    image_id = image_id_for(i)
+    w, h = codecs.gen_dims(image_id)
+    px = codecs.gen_pixels(image_id, w, h)
+    r = xxh64_str(f"border:{image_id}")
+    ty, tx = r % 7, (r >> 8) % 7
+    padded = np.pad(px, ((ty, ty), (tx, tx), (0, 0)), constant_values=0)
+    fmt = codecs.gen_fmt(image_id)
+    data = codecs.encode(padded, fmt)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w + 2 * tx,
+        "h": h + 2 * ty,
+        "fmt": fmt,
+        "caption": codecs.gen_caption(image_id),
+        "phash": codecs.phash64(codecs.decode(data)),
+        "pad_top": ty,
+        "pad_left": tx,
+    }
+
+
+def bordered_images_df(spark, cfg: CrawlConfig):
+    """Image table with planted letterbox/pillarbox borders (distributed
+    build; ``images_df`` shape plus pad ground-truth columns)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame([make_bordered_image_row(int(i)) for i in b["id"]])
+
+    n_parts = max(8, cfg.n_urls // 10_000)
+    return (
+        spark.range(0, cfg.n_urls, numPartitions=n_parts)
+        .mapInPandas(gen, schema=BORDERED_IMAGES_SCHEMA)
+    )
+
+
 def robots_txt_for(host: str, cfg: CrawlConfig) -> str:
     """Deterministic per-host robots.txt exercising the grammar the
     parser covers: a decoy group for another crawler (must NOT apply),
