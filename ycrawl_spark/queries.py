@@ -7344,6 +7344,124 @@ def mojibake_audit(spark, sf_dir):
     )
 
 
+@query(
+    "robots_diff_audit",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(o_custkey % 30 AS VARCHAR) AS host,
+             o_custkey % 30 AS hid,
+             '/cat/' || CAST(o_orderkey % 7 AS VARCHAR) || '/item/'
+               || CAST(o_orderkey AS VARCHAR) AS path
+      FROM orders
+    ), f AS (
+      SELECT host,
+             CASE WHEN hid % 3 = 0 AND path LIKE '/cat/3/%'
+                  THEN 1 ELSE 0 END AS b1,
+             CASE WHEN (hid % 3 = 1 AND path LIKE '/cat/3/%')
+                    OR (hid % 2 = 0 AND path LIKE '/cat/5/%')
+                  THEN 1 ELSE 0 END AS b2
+      FROM u
+    )
+    SELECT host, COUNT(*) AS n_urls,
+           CAST(SUM(b1) AS BIGINT) AS n_blocked_old,
+           CAST(SUM(b2) AS BIGINT) AS n_blocked_new,
+           CAST(SUM(CASE WHEN b2 = 1 AND b1 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_newly_blocked,
+           CAST(SUM(CASE WHEN b1 = 1 AND b2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_newly_allowed
+    FROM f GROUP BY host
+    """,
+)
+def robots_diff_audit(spark, sf_dir):
+    """Robots-refresh impact audit — what changes when a host's
+    robots.txt is re-fetched mid-crawl: per host, how many frontier
+    URLs flip from allowed to blocked (must be pruned from pending and
+    excluded from retries) and from blocked to allowed (re-enter the
+    frontier as fresh candidates). The engine applies robots once at
+    frontier build (synth.robots_txt_for → robots_ok); a long-running
+    crawl re-fetches robots on a TTL, and THIS diff is the exact delta
+    the frontier table needs merged — the read-side twin of the
+    catalog's merge_upsert. Old/new rule sets are deterministic
+    per-host prefix blocks with a planted rule migration (block moves
+    between host classes, a second prefix appears), so all four flip
+    quadrants carry mass. Pure in-row CASE logic + ONE host rollup:
+    scan-shaped; at 10^10 URLs the rules join is a broadcast of the
+    robots snapshot pair, never a URL-side shuffle."""
+    u = load(spark, sf_dir, "orders").select(
+        F.expr("'h' || CAST(o_custkey % 30 AS STRING)").alias("host"),
+        F.expr("o_custkey % 30").alias("hid"),
+        F.expr("'/cat/' || CAST(o_orderkey % 7 AS STRING) || '/item/'"
+               " || CAST(o_orderkey AS STRING)").alias("path"),
+    )
+    f = u.select(
+        "host",
+        F.expr("CASE WHEN hid % 3 = 0 AND path LIKE '/cat/3/%'"
+               " THEN 1 ELSE 0 END").alias("b1"),
+        F.expr("CASE WHEN (hid % 3 = 1 AND path LIKE '/cat/3/%')"
+               " OR (hid % 2 = 0 AND path LIKE '/cat/5/%')"
+               " THEN 1 ELSE 0 END").alias("b2"),
+    )
+    return f.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("b1").cast("long").alias("n_blocked_old"),
+        F.sum("b2").cast("long").alias("n_blocked_new"),
+        F.sum(F.when((F.col("b2") == 1) & (F.col("b1") == 0), 1).otherwise(0))
+        .cast("long").alias("n_newly_blocked"),
+        F.sum(F.when((F.col("b1") == 1) & (F.col("b2") == 0), 1).otherwise(0))
+        .cast("long").alias("n_newly_allowed"),
+    )
+
+
+@query(
+    "subword_fertility_by_lang",
+    """
+    WITH d AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_words,
+             list_sum(list_transform(string_split(text, ' '),
+                                     w -> (len(w) + 3) // 4)) AS n_subwords
+      FROM documents WHERE len(text) > 0
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+           (1000 * CAST(SUM(n_subwords) AS BIGINT))
+             // CAST(SUM(n_words) AS BIGINT) AS fertility_permille
+    FROM d GROUP BY lang
+    """,
+)
+def subword_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility by language — the multilingual-pipeline audit
+    that decides whether a tokenizer is fair to a language: fertility =
+    subwords emitted per whitespace word, and a language whose fertility
+    runs 2× the corpus mean pays 2× the context window and 2× the
+    compute per sentence (the standard argument for retraining the BPE
+    merge table on a rebalanced corpus). Subword count uses the
+    deterministic ⌈len/4⌉ chunk rule — the integer-exact stand-in for a
+    fixed merge table, chosen so both engines reproduce it bit-exactly
+    (`bpe_real_token_stats` covers the real-BPE path; this op is the
+    corpus-scale per-language rollup). In-row lambda arithmetic
+    (higher-order transform/aggregate, no explode — the token rows
+    never materialize) + ONE lang rollup: scan-shaped at 100 TB."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.expr("length(text) > 0")
+    ).select(
+        "lang",
+        F.expr("size(split(text, ' '))").alias("n_words"),
+        F.expr("aggregate(transform(split(text, ' '),"
+               " w -> (length(w) + 3) DIV 4), 0L, (a, x) -> a + x)")
+        .alias("n_subwords"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        F.expr("(1000 * CAST(SUM(n_subwords) AS BIGINT))"
+               " DIV CAST(SUM(n_words) AS BIGINT)")
+        .alias("fertility_permille"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
