@@ -488,3 +488,60 @@ def test_redirect_resolve_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rank_unsalted_is_single_shuffle(spark):
+    """With an explicitly empty hot-host list the politeness rank must
+    compile to exactly ONE shuffle exchange (the phase-1 window) — the
+    round-4 restructure deleted phase 2's second full shuffle of the
+    candidate set for unsalted hosts, and this pin keeps it deleted.
+    With a hot host present, the phase-2 exchange reappears but may
+    only move hot-host survivor rows (a filter sits under it)."""
+    from ycrawl_spark import scheduler, synth
+    from ycrawl_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(n_urls=500, n_hosts=8)
+    pending = (
+        spark.createDataFrame(synth.frontier_pdf(cfg))
+        .filter("robots_ok")
+        .withColumn("err_count", F.lit(0).cast("long"))
+        .withColumn("attempt", F.lit(1).cast("int"))
+    )
+    pol = spark.createDataFrame(synth.politeness_pdf(cfg))
+
+    ranked = scheduler.rank_per_host(pending, pol, cfg, hot_hosts=[])
+    plan = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "simple"
+    )
+    # The losers/survivors union duplicates the phase-1 subtree in the
+    # textual plan (fresh expression ids each branch; ReuseExchange
+    # collapses them at runtime). Distinct shuffle SHAPES — exchange
+    # lines with expression/plan ids stripped — is the invariant that
+    # survives the printout: 1 here (phase 1 only; the constant salt 0
+    # is folded out of the partitioning), 2 with a hot host (phase 1
+    # keyed (host, _salt) + phase 2 keyed (host) over the hot filter).
+    import re
+
+    def shuffle_shapes(p: str) -> set:
+        return {
+            re.sub(r"#\d+|\[plan_id=\d+\]", "", line.strip().lstrip(":+- "))
+            for line in p.splitlines()
+            if "Exchange hashpartitioning" in line
+        }
+
+    assert len(shuffle_shapes(plan)) == 1, plan
+
+    hot = sorted(
+        r["canonical_host"]
+        for r in pending.select("canonical_host").distinct().collect()
+    )[:1]
+    ranked_hot = scheduler.rank_per_host(pending, pol, cfg, hot_hosts=hot)
+    plan_hot = ranked_hot._sc._jvm.PythonSQLUtils.explainString(
+        ranked_hot._jdf.queryExecution(), "simple"
+    )
+    assert len(shuffle_shapes(plan_hot)) == 2, plan_hot
+    # Selection semantics unchanged by salting: same selected keys.
+    sel = scheduler.is_selected()
+    a = {r["key"] for r in ranked.filter(sel).select("key").collect()}
+    b = {r["key"] for r in ranked_hot.filter(sel).select("key").collect()}
+    assert a == b
