@@ -7462,6 +7462,121 @@ def subword_fertility_by_lang(spark, sf_dir):
     )
 
 
+@query(
+    "run_length_degeneracy",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE len(text) > 0
+    ), p AS (
+      SELECT doc_id, unnest(tk) AS tok,
+             generate_subscripts(tk, 1) AS pos
+      FROM t
+    ), g AS (
+      SELECT doc_id, tok, pos,
+             pos - row_number() OVER (PARTITION BY doc_id, tok
+                                      ORDER BY pos) AS island
+      FROM p
+    ), runs AS (
+      SELECT doc_id, COUNT(*) AS run_len
+      FROM g GROUP BY doc_id, tok, island
+    ), mx AS (
+      SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_run FROM runs
+      GROUP BY doc_id
+    )
+    SELECT max_run, COUNT(*) AS n_docs FROM mx GROUP BY max_run
+    """,
+)
+def run_length_degeneracy(spark, sf_dir):
+    """Degenerate-repetition detection — the 'the the the the' filter: a
+    document whose longest SAME-TOKEN run exceeds a few tokens is OCR
+    garbage, a scraped progress bar, or model-generated loop output,
+    and every LM data pipeline drops on exactly this signal (the
+    repetition_quality op measures global repeat MASS; this one
+    measures the longest contiguous run, which catches short docs a
+    mass ratio misses). Runs are found with the gaps-and-islands
+    identity — pos − row_number() over (doc, token) is constant within
+    a maximal run — so the whole computation is two windows and two
+    aggregations with NO self-join, and the token rows partition by
+    doc_id: the shuffle is corpus-token-sized but perfectly
+    partition-parallel at any corpus width. Output is the corpus
+    histogram of per-doc max run length (the threshold-calibration
+    curve, like `phash_hamming_hist` for phash)."""
+    t = load(spark, sf_dir, "documents").filter(
+        F.expr("length(text) > 0")
+    ).select("doc_id", F.split("text", " ").alias("tk"))
+    p = t.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    g = p.withColumn(
+        "island",
+        F.col("pos") - F.row_number().over(
+            W.partitionBy("doc_id", "tok").orderBy("pos")),
+    )
+    runs = g.groupBy("doc_id", "tok", "island").agg(
+        F.count("*").alias("run_len"))
+    mx = runs.groupBy("doc_id").agg(
+        F.max("run_len").cast("long").alias("max_run"))
+    return mx.groupBy("max_run").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "warc_chunk_index",
+    """
+    WITH r AS (
+      SELECT 'h' || CAST(o_custkey % 40 AS VARCHAR) AS host,
+             o_orderkey AS rec_key,
+             500 + o_orderkey % 4000 AS rec_bytes
+      FROM orders
+    ), c AS (
+      SELECT host, rec_key, rec_bytes,
+             SUM(rec_bytes) OVER (PARTITION BY host ORDER BY rec_key
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r
+    ), f AS (
+      SELECT host, CAST((cum - rec_bytes) // 1000000 AS BIGINT) AS file_idx,
+             rec_bytes
+      FROM c
+    )
+    SELECT host, file_idx, COUNT(*) AS n_records,
+           CAST(SUM(rec_bytes) AS BIGINT) AS chunk_bytes
+    FROM f GROUP BY host, file_idx
+    """,
+)
+def warc_chunk_index(spark, sf_dir):
+    """WARC-style archive chunk index — the storage layout a crawl's
+    payload sink actually writes: records append per host in key order
+    and roll to a new archive member whenever the running byte offset
+    crosses the 1 MB target (reference analog: the chunked archive
+    sink, SURVEY §2.1 sink_archive_chunks — there a GCS compose of
+    fixed-count chunks; here the industry-standard byte-target roll).
+    file_idx = (record's start offset) DIV target is the exact
+    greedy-roll assignment computed WITHOUT a sequential scan: one
+    running-sum window per host (partition-parallel across hosts — the
+    10^10-record layout computes in one shuffle), then a rollup per
+    (host, file) giving the CDX-style index a replayer seeks with.
+    Deterministic record sizes from the key; every host crosses
+    multiple file boundaries so the roll logic carries mass."""
+    r = load(spark, sf_dir, "orders").select(
+        F.expr("'h' || CAST(o_custkey % 40 AS STRING)").alias("host"),
+        F.col("o_orderkey").alias("rec_key"),
+        F.expr("500 + o_orderkey % 4000").alias("rec_bytes"),
+    )
+    c = r.withColumn(
+        "cum",
+        F.sum("rec_bytes").over(
+            W.partitionBy("host").orderBy("rec_key")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    f = c.select(
+        "host",
+        F.expr("(cum - rec_bytes) DIV 1000000").alias("file_idx"),
+        "rec_bytes",
+    )
+    return f.groupBy("host", "file_idx").agg(
+        F.count("*").alias("n_records"),
+        F.sum("rec_bytes").cast("long").alias("chunk_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
