@@ -7577,6 +7577,496 @@ def warc_chunk_index(spark, sf_dir):
     )
 
 
+@query(
+    "crawl_delay_compliance",
+    """
+    WITH f AS (
+      SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+             1000000 * (1 + user_id % 40 % 5) AS delay_us,
+             epoch_us(ts) AS t_us, event_id
+      FROM events
+    ), g AS (
+      SELECT host, delay_us, t_us,
+             t_us - lag(t_us) OVER (PARTITION BY host
+                                    ORDER BY t_us, event_id) AS gap_us
+      FROM f
+    )
+    SELECT host, COUNT(*) AS n_fetches,
+           COUNT(gap_us) AS n_gaps,
+           CAST(SUM(CASE WHEN gap_us < delay_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(SUM(CASE WHEN gap_us < delay_us
+                         THEN delay_us - gap_us ELSE 0 END)
+                AS BIGINT) AS deficit_us
+    FROM g GROUP BY host
+    """,
+)
+def crawl_delay_compliance(spark, sf_dir):
+    """Politeness SLA audit — did the dispatcher actually honor each
+    host's crawl-delay?  The scheduler PLANS compliant epochs
+    (gcra_rate_limit_admission is the admission side); this op is the
+    post-hoc verification over the fetch log that operations teams run
+    when a webmaster complains: per host, the inter-fetch gap from a
+    lag window over actual fetch timestamps, counted against the
+    host's declared crawl-delay, with the total deficit (how many
+    microseconds of politeness debt accrued).  Microsecond integers
+    end-to-end (unix_micros / epoch_us — second-granular casts ROUND
+    in DuckDB but FLOOR in Spark, so second math would diverge).  One
+    window + one rollup, both partitioned by host: at 10^10 fetch-log
+    rows this is a single host-keyed shuffle, and the lag never
+    crosses partitions.  Reference analog: the per-VM pacing loop
+    (vm_runner.py sleep between batches) which trusts rather than
+    verifies."""
+    f = load(spark, sf_dir, "events").select(
+        F.expr("'h' || CAST(user_id % 40 AS STRING)").alias("host"),
+        F.expr("1000000 * (1 + user_id % 40 % 5)").alias("delay_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        "event_id",
+    )
+    g = f.withColumn(
+        "gap_us",
+        F.col("t_us") - F.lag("t_us").over(
+            W.partitionBy("host").orderBy("t_us", "event_id")),
+    )
+    return g.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.count("gap_us").alias("n_gaps"),
+        F.sum(F.when(F.col("gap_us") < F.col("delay_us"), 1).otherwise(0))
+        .cast("long").alias("n_violations"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.sum(F.when(F.col("gap_us") < F.col("delay_us"),
+                     F.col("delay_us") - F.col("gap_us")).otherwise(0))
+        .cast("long").alias("deficit_us"),
+    )
+
+
+@query(
+    "retry_backoff_schedule",
+    """
+    WITH a AS (
+      SELECT l_orderkey AS url_id, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber) AS attempt
+      FROM lineitem WHERE l_orderkey % 5 = 0
+    ), s AS (
+      SELECT url_id, attempt,
+             LEAST(300, 5 * (1 << (attempt - 1))) AS delay_s
+      FROM a
+    )
+    SELECT url_id, COUNT(*) AS n_attempts,
+           CAST(MAX(delay_s) AS BIGINT) AS last_delay_s,
+           CAST(SUM(delay_s) AS BIGINT) AS total_backoff_s,
+           CAST(SUM(CASE WHEN delay_s = 300 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_capped
+    FROM s GROUP BY url_id
+    """,
+)
+def retry_backoff_schedule(spark, sf_dir):
+    """Exponential-backoff retry ledger — the engine's retry loop
+    (pipeline.py re-queues ERR rows up to max_retry; reference
+    main.py:73-80 forfeits at a count threshold) extended with the
+    production backoff curve: attempt k waits min(cap, base·2^(k-1)).
+    Attempt numbers come from a row_number window per URL (the fetch
+    log carries no attempt column — deriving it from arrival order is
+    exactly what the crash-recovery path does), the delay is integer
+    shift arithmetic (no float pow), and the per-URL rollup reports
+    the next-delay, the total politeness debt a flaky URL accrues
+    before forfeit, and how many attempts sat at the cap — the three
+    numbers that size a retry queue's memory and the forfeit
+    threshold.  One window + one rollup on the same url_id key: a
+    single shuffle at any scale."""
+    a = load(spark, sf_dir, "lineitem").filter(
+        F.expr("l_orderkey % 5 = 0")
+    ).select(
+        F.col("l_orderkey").alias("url_id"),
+        F.row_number().over(
+            W.partitionBy("l_orderkey").orderBy("l_linenumber")
+        ).alias("attempt"),
+    )
+    s = a.select(
+        "url_id",
+        F.expr("LEAST(300, 5 * shiftleft(1, attempt - 1))").alias("delay_s"),
+    )
+    return s.groupBy("url_id").agg(
+        F.count("*").alias("n_attempts"),
+        F.max("delay_s").cast("long").alias("last_delay_s"),
+        F.sum("delay_s").cast("long").alias("total_backoff_s"),
+        F.sum(F.when(F.col("delay_s") == 300, 1).otherwise(0))
+        .cast("long").alias("n_capped"),
+    )
+
+
+@query(
+    "rendezvous_shard_rebalance",
+    """
+    WITH h AS (
+      SELECT DISTINCT 'host' || CAST(c_custkey % 211 AS VARCHAR) AS host
+      FROM customer
+    ), a AS (
+      SELECT host,
+             list_position(m8, list_aggregate(m8, 'max')) - 1 AS shard8,
+             list_position(m9, list_aggregate(m9, 'max')) - 1 AS shard9
+      FROM (
+        SELECT host,
+               list_transform(generate_series(0, 7),
+                              i -> md5(host || '#' || CAST(i AS VARCHAR))) AS m8,
+               list_transform(generate_series(0, 8),
+                              i -> md5(host || '#' || CAST(i AS VARCHAR))) AS m9
+        FROM h)
+    )
+    SELECT shard8, COUNT(*) AS n_hosts,
+           CAST(SUM(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           CAST(SUM(CASE WHEN shard9 <> shard8 AND shard9 <> 8
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_lateral
+    FROM a GROUP BY shard8
+    """,
+)
+def rendezvous_shard_rebalance(spark, sf_dir):
+    """Rendezvous (HRW) fetcher-shard assignment + minimal-rebalance
+    proof — the host→worker map a frontier needs when the fetcher
+    fleet resizes: shard(host) = argmax_i md5(host#i).  Unlike mod-N
+    hashing (which remaps ~(N-1)/N of hosts on N→N+1), HRW moves ONLY
+    hosts whose new argmax is the new shard — the op computes the
+    assignment at 8 and 9 shards in-row (transform over a literal
+    sequence; the shard table never joins, there is NO hosts×shards
+    explode) and the rollup proves n_moved_lateral = 0 for every
+    shard: zero lateral churn, the property that makes live fleet
+    resize safe for per-host politeness state.  One distinct-hosts
+    shuffle + one 8-row rollup; at 10^8 hosts the argmax stays
+    in-row.  Reference analog: the static VM list in config.py — the
+    reference reshards by hand."""
+    h = load(spark, sf_dir, "customer").select(
+        F.expr("'host' || CAST(c_custkey % 211 AS STRING)").alias("host")
+    ).distinct()
+    a = h.select(
+        "host",
+        F.expr("transform(sequence(0, 7),"
+               " i -> md5(concat(host, '#', CAST(i AS STRING))))").alias("m8"),
+        F.expr("transform(sequence(0, 8),"
+               " i -> md5(concat(host, '#', CAST(i AS STRING))))").alias("m9"),
+    ).select(
+        "host",
+        (F.expr("array_position(m8, array_max(m8))") - 1).alias("shard8"),
+        (F.expr("array_position(m9, array_max(m9))") - 1).alias("shard9"),
+    )
+    return a.groupBy("shard8").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum(F.when(F.col("shard9") != F.col("shard8"), 1).otherwise(0))
+        .cast("long").alias("n_moved"),
+        F.sum(F.when((F.col("shard9") != F.col("shard8"))
+                     & (F.col("shard9") != 8), 1).otherwise(0))
+        .cast("long").alias("n_moved_lateral"),
+    )
+
+
+@query(
+    "content_length_mismatch",
+    """
+    WITH p AS (
+      SELECT 'h' || CAST(o_custkey % 30 AS VARCHAR) AS host,
+             500 + o_orderkey % 4000 AS declared,
+             CASE WHEN o_orderkey % 97 = 0
+                    THEN 500 + o_orderkey % 4000 - 1 - (o_orderkey % 300)
+                  WHEN o_orderkey % 101 = 0
+                    THEN 500 + o_orderkey % 4000 + 120
+                  ELSE 500 + o_orderkey % 4000 END AS actual
+      FROM orders
+    )
+    SELECT host, COUNT(*) AS n_responses,
+           CAST(SUM(CASE WHEN actual < declared THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_truncated,
+           CAST(SUM(CASE WHEN actual > declared THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inflated,
+           CAST(SUM(CASE WHEN actual < declared
+                         THEN declared - actual ELSE 0 END)
+                AS BIGINT) AS bytes_missing
+    FROM p GROUP BY host
+    """,
+)
+def content_length_mismatch(spark, sf_dir):
+    """Transfer-integrity audit — Content-Length header vs bytes
+    actually received.  A truncated body (actual < declared) means a
+    dropped connection whose partial payload must NOT be parsed or
+    archived (the reference's parse guard nulls out unparseable
+    payloads, DataProcessor/parse.py; this op is the accounting that
+    finds the hosts CAUSING those nulls); an inflated body means a
+    mis-declaring or chunked-transfer host whose headers can't size
+    buffers.  Planted deterministic fault classes (every 97th key
+    truncates by a key-derived amount, every 101st inflates by a
+    fixed trailer) keep both quadrants populated at every SF.  Pure
+    in-row CASE arithmetic + ONE host rollup: scan-shaped, the 100-TB
+    plan is a single pass."""
+    p = load(spark, sf_dir, "orders").select(
+        F.expr("'h' || CAST(o_custkey % 30 AS STRING)").alias("host"),
+        F.expr("500 + o_orderkey % 4000").alias("declared"),
+        F.expr("CASE WHEN o_orderkey % 97 = 0"
+               " THEN 500 + o_orderkey % 4000 - 1 - (o_orderkey % 300)"
+               " WHEN o_orderkey % 101 = 0"
+               " THEN 500 + o_orderkey % 4000 + 120"
+               " ELSE 500 + o_orderkey % 4000 END").alias("actual"),
+    )
+    return p.groupBy("host").agg(
+        F.count("*").alias("n_responses"),
+        F.sum(F.when(F.col("actual") < F.col("declared"), 1).otherwise(0))
+        .cast("long").alias("n_truncated"),
+        F.sum(F.when(F.col("actual") > F.col("declared"), 1).otherwise(0))
+        .cast("long").alias("n_inflated"),
+        F.sum(F.when(F.col("actual") < F.col("declared"),
+                     F.col("declared") - F.col("actual")).otherwise(0))
+        .cast("long").alias("bytes_missing"),
+    )
+
+
+@query(
+    "host_fairness_gini",
+    """
+    WITH c AS (
+      SELECT CASE WHEN user_id % 10 < 5 THEN 'h0'
+                  ELSE 'h' || CAST(1 + user_id % 35 AS VARCHAR) END AS host,
+             COUNT(*) AS x
+      FROM events GROUP BY 1
+    ), r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, host) AS i FROM c
+    )
+    SELECT COUNT(*) AS n_hosts,
+           CAST(SUM(x) AS BIGINT) AS total_fetches,
+           CAST(MAX(x) * 1000 / SUM(x) AS BIGINT) AS hot_share_permille,
+           CAST((1000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
+                // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_permille
+    FROM r
+    """,
+)
+def host_fairness_gini(spark, sf_dir):
+    """Dispatch-fairness Gini — the single number an operator watches
+    to see whether the politeness scheduler is starving the long tail:
+    G over per-host fetch counts, exact integer arithmetic via the
+    sorted-rank identity G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) (no float
+    Lorenz integration; permille by cross-multiplied DIV so both
+    engines agree bit-for-bit).  Traffic is synthesized with a planted
+    hot host carrying ~half the fetches — the skew shape the
+    scheduler's salting exists for (scheduler.py hot_hosts) — so the
+    coefficient sits far from 0 and a fairness regression moves it.
+    One count rollup (host-keyed shuffle over the log) then windows
+    over the HOST table only (n_hosts rows — driver-trivial at any
+    corpus scale; the global sort never touches fetch rows)."""
+    c = load(spark, sf_dir, "events").select(
+        F.expr("CASE WHEN user_id % 10 < 5 THEN 'h0'"
+               " ELSE 'h' || CAST(1 + user_id % 35 AS STRING) END")
+        .alias("host")
+    ).groupBy("host").agg(F.count("*").alias("x"))
+    r = c.withColumn(
+        "i", F.row_number().over(W.orderBy("x", "host")))
+    return r.agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("x").cast("long").alias("total_fetches"),
+        (F.max("x") * 1000 / F.sum("x")).cast("long")
+        .alias("hot_share_permille"),
+        F.expr("CAST((1000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))"
+               " DIV (COUNT(*) * SUM(x)) AS BIGINT)")
+        .alias("gini_permille"),
+    )
+
+
+@query(
+    "ngram_novelty_decile",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 2),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2])) AS grams
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), firsts AS (
+      SELECT gram, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM d) GROUP BY gram
+    ), novel AS (
+      SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+      FROM firsts GROUP BY first_doc
+    ), per_doc AS (
+      SELECT d.doc_id, len(d.grams) AS n_grams,
+             COALESCE(n.n_novel, 0) AS n_novel,
+             NTILE(10) OVER (ORDER BY d.doc_id) AS decile
+      FROM d LEFT JOIN novel n ON d.doc_id = n.doc_id
+    )
+    SELECT decile, COUNT(*) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+           CAST((1000 * SUM(n_novel)) // SUM(n_grams) AS BIGINT)
+             AS novelty_permille
+    FROM per_doc GROUP BY decile
+    """,
+)
+def ngram_novelty_decile(spark, sf_dir):
+    """Corpus-order novelty curve — how fast a growing crawl stops
+    contributing NEW text: for each document (in doc_id = acquisition
+    order), the fraction of its distinct 3-gram shingles never seen in
+    any earlier document, rolled up by corpus decile.  This is the
+    diminishing-returns plot behind every 'scale the crawl or improve
+    the filter?' decision, and the additive complement of the dedup
+    stack: contamination_overlap finds WHICH grams repeat, this curve
+    prices what another 10 TB of the same crawl buys.  Novelty is
+    computed WITHOUT a self-join: one gram-keyed min(doc_id) rollup
+    (the first-occurrence table), re-aggregated by first_doc and
+    LEFT-joined back onto doc-sized rows — two equi-shuffles on gram
+    then doc_id, both partition-parallel; the ntile window orders
+    doc-count rows, never gram rows.  Integer permille throughout."""
+    tk = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").filter(
+        F.size(tk) >= 3
+    ).select(
+        "doc_id",
+        F.array_distinct(F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', element_at(split(text, ' '), i),"
+            " element_at(split(text, ' '), i + 1),"
+            " element_at(split(text, ' '), i + 2)))")).alias("grams"),
+    )
+    firsts = d.select("doc_id", F.explode("grams").alias("gram")).groupBy(
+        "gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel"))
+    per_doc = d.select("doc_id", F.size("grams").alias("n_grams")).join(
+        novel, "doc_id", "left"
+    ).select(
+        "doc_id", "n_grams",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+    ).withColumn("decile", F.ntile(10).over(W.orderBy("doc_id")))
+    return per_doc.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("total_grams"),
+        F.sum("n_novel").cast("long").alias("novel_grams"),
+        F.expr("CAST((1000 * SUM(n_novel)) DIV SUM(n_grams) AS BIGINT)")
+        .alias("novelty_permille"),
+    )
+
+
+@query(
+    "soft404_detection",
+    """
+    WITH p AS (
+      SELECT 'h' || CAST(o_custkey % 25 AS VARCHAR) AS host,
+             CASE WHEN o_orderkey % 89 = 0
+                    THEN 'error page not found sorry'
+                  WHEN o_orderkey % 113 = 0
+                    THEN 'domain parked placeholder'
+                  ELSE 'product detail content for item '
+                       || CAST(o_orderkey AS VARCHAR)
+                       || ' with description text and specifications'
+             END AS body,
+             CASE WHEN o_orderkey % 89 = 0 OR o_orderkey % 113 = 0
+                  THEN 0 ELSE o_orderkey % 7 END AS n_links
+      FROM orders
+    ), s AS (
+      SELECT host,
+             (CASE WHEN body LIKE '%not found%'
+                     OR body LIKE '%parked%' THEN 2 ELSE 0 END)
+           + (CASE WHEN len(body) < 40 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_links = 0 THEN 1 ELSE 0 END) AS score
+      FROM p
+    )
+    SELECT host, COUNT(*) AS n_pages,
+           CAST(SUM(CASE WHEN score >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_soft404,
+           CAST(SUM(score) AS BIGINT) AS total_score
+    FROM s GROUP BY host
+    """,
+)
+def soft404_detection(spark, sf_dir):
+    """Soft-404 detection — HTTP-200 responses that are really error
+    pages (the false negatives that poison both the dedup stack, as
+    giant template clusters, and the training corpus, as boilerplate).
+    The standard production heuristic is an additive evidence score —
+    error phrase (+2), implausibly short body (+1), zero outbound
+    links (+1), flag at ≥2 — which is exactly CASE arithmetic: in-row,
+    JVM-side, no UDF, scan-shaped at 100 TB with ONE host rollup so
+    the output names the hosts serving soft 404s (the recrawl/blocklist
+    decision).  Two planted fault classes (not-found phrasing, parked
+    domains) keep both trigger paths populated deterministically."""
+    p = load(spark, sf_dir, "orders").select(
+        F.expr("'h' || CAST(o_custkey % 25 AS STRING)").alias("host"),
+        F.expr("CASE WHEN o_orderkey % 89 = 0"
+               " THEN 'error page not found sorry'"
+               " WHEN o_orderkey % 113 = 0"
+               " THEN 'domain parked placeholder'"
+               " ELSE concat('product detail content for item ',"
+               " CAST(o_orderkey AS STRING),"
+               " ' with description text and specifications') END")
+        .alias("body"),
+        F.expr("CASE WHEN o_orderkey % 89 = 0 OR o_orderkey % 113 = 0"
+               " THEN 0 ELSE o_orderkey % 7 END").alias("n_links"),
+    )
+    s = p.select(
+        "host",
+        (F.when(F.col("body").like("%not found%")
+                | F.col("body").like("%parked%"), 2).otherwise(0)
+         + F.when(F.length("body") < 40, 1).otherwise(0)
+         + F.when(F.col("n_links") == 0, 1).otherwise(0)).alias("score"),
+    )
+    return s.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("score") >= 2, 1).otherwise(0))
+        .cast("long").alias("n_soft404"),
+        F.sum("score").cast("long").alias("total_score"),
+    )
+
+
+@query(
+    "stream_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       >= 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS sess_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_sessionize(spark, sf_dir):
+    """Native streaming session windows, ORACLE-value-checked — a real
+    readStream → session_window(gap=30m) → writeStream run drained
+    with Trigger.AvailableNow in complete mode, compared against the
+    batch gaps-and-islands identity (new session iff the gap to the
+    previous event is ≥ the session gap; a Spark session window spans
+    [first_ts, last_ts + gap)).  This is the stateful-merge operator
+    the engine's visit-sessionization would run live (batch twin:
+    sessionize_users); merging session state across micro-batches is
+    the part availableNow genuinely exercises, since the source splits
+    into multiple files → multiple batches.  State is keyed by
+    user_id: bucket-sharded, watermark-bounded in production; the
+    oracle's window math is integer microseconds."""
+    import os
+    import shutil
+
+    from . import streaming
+
+    d = tempfile.mkdtemp(prefix="ycrawl_stream_sess_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "part-000.parquet"))
+    stream = streaming.stream_source(spark, src, streaming.EVENTS_SCHEMA)
+    sess = streaming.session_counts(stream, gap="30 minutes",
+                                    watermark="10 days")
+    name = streaming.run_available_now(
+        sess, os.path.join(d, "ckpt"), out_mode="complete")
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
