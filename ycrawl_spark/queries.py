@@ -7912,8 +7912,13 @@ def ngram_novelty_decile(spark, sf_dir):
     computed WITHOUT a self-join: one gram-keyed min(doc_id) rollup
     (the first-occurrence table), re-aggregated by first_doc and
     LEFT-joined back onto doc-sized rows — two equi-shuffles on gram
-    then doc_id, both partition-parallel; the ntile window orders
-    doc-count rows, never gram rows.  Integer permille throughout."""
+    then doc_id, both partition-parallel.  The decile itself is NOT an
+    ntile window (a global window is a single-partition sort — the
+    oracle uses ntile, but at 10^10 docs Spark must not): rank comes
+    from scheduler.with_global_pos (range-partition + per-partition
+    prefix-sum offsets, no data window) and the bucket from ntile's
+    closed form r ↦ ceil over (q, rem) with the corpus count broadcast
+    as a 1-row literal.  Integer permille throughout."""
     tk = F.split("text", " ")
     d = load(spark, sf_dir, "documents").filter(
         F.size(tk) >= 3
@@ -7934,7 +7939,23 @@ def ngram_novelty_decile(spark, sf_dir):
     ).select(
         "doc_id", "n_grams",
         F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
-    ).withColumn("decile", F.ntile(10).over(W.orderBy("doc_id")))
+    )
+    ranked = scheduler.with_global_pos(per_doc, ["doc_id"], out_col="_pos")
+    n_total = per_doc.agg(F.count("*").alias("_n"))
+    per_doc = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("_r", F.col("_pos") + 1)
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(CASE WHEN _r <= (_n % 10) * (_n DIV 10 + 1)"
+                " THEN (_r + _n DIV 10) DIV (_n DIV 10 + 1)"
+                " ELSE (_n % 10) + (_r - (_n % 10) * (_n DIV 10 + 1)"
+                "   + GREATEST(_n DIV 10, 1) - 1) DIV GREATEST(_n DIV 10, 1)"
+                " END AS INT)"),
+        )
+        .drop("_pos", "_r", "_n")
+    )
     return per_doc.groupBy("decile").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_grams").cast("long").alias("total_grams"),
@@ -8065,6 +8086,275 @@ def stream_sessionize(spark, sf_dir):
     name = streaming.run_available_now(
         sess, os.path.join(d, "ckpt"), out_mode="complete")
     return spark.table(name)
+
+
+def _band_sweep_oracle(n_perm: int = 16, k: int = 4) -> str:
+    sig_cols = ",\n           ".join(
+        f"min(md5('p{i}:' || s)) AS s{i}" for i in range(n_perm)
+    )
+    selects = []
+    for bands in (4, 8, 16):
+        rows = n_perm // bands
+        for b in range(bands):
+            cols = ", ".join(f"s{b * rows + r}" for r in range(rows))
+            selects.append(
+                f"SELECT doc_id, {bands} AS bands, {b} AS band_id,"
+                f" md5(concat_ws(',', {cols})) AS band_hash FROM sig")
+    banded = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tokens) - {k - 1}, 0) + 1),
+               i -> array_to_string(tokens[i:i+{k - 1}], ' '))) AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sig AS (
+      SELECT doc_id, {sig_cols} FROM ex GROUP BY doc_id
+    ), banded AS (
+      {banded}
+    ), buckets AS (
+      SELECT bands, band_id, band_hash, COUNT(*) AS n
+      FROM banded GROUP BY bands, band_id, band_hash
+    )
+    SELECT bands, CAST({n_perm} / bands AS BIGINT) AS rows_per_band,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hot_buckets,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(MAX(n) AS BIGINT) AS max_bucket
+    FROM buckets GROUP BY bands
+    """
+
+
+@query("lsh_band_tuning_sweep", _band_sweep_oracle())
+def lsh_band_tuning_sweep(spark, sf_dir):
+    """LSH band-configuration sweep — the tuning curve that SIZES the
+    dedup stack before committing a 100-TB pass: for one 16-perm
+    MinHash signature table, the candidate-pair workload that each
+    banding (b=4/r=4, b=8/r=2, b=16/r=1) would generate.  More bands
+    ⇒ higher recall (S-curve threshold (1/b)^(1/r) drops) but more
+    bucket collisions ⇒ more pairs to verify; this op measures the
+    actual pair workload, hot-bucket count, and worst bucket on the
+    real corpus, which is how the b/r choice and the bucket cap
+    (cap_hot_buckets) are calibrated.  ALL 28 band keys project from
+    ONE signature scan (a single stack — the three configs share the
+    s0..s15 columns; no per-config re-scan), then one (bands, band)
+    bucket rollup and an 3-row summary: pair counts come from bucket
+    sizes (n·(n−1)/2), the pairs themselves are never materialized —
+    the whole sweep is strictly cheaper than any single dedup run it
+    prices.  md5 permutations keep it oracle-exact."""
+    sigs = textops.minhash_md5_signatures(
+        load(spark, sf_dir, "documents")).drop("sh")
+    args = []
+    for bands in (4, 8, 16):
+        rows = 16 // bands
+        for b in range(bands):
+            cols = ", ".join(f"s{b * rows + r}" for r in range(rows))
+            args.append(f"{bands}, {b}, md5(concat_ws(',', {cols}))")
+    stacked = sigs.selectExpr(
+        "doc_id",
+        f"stack({len(args)}, {', '.join(args)})"
+        " as (bands, band_id, band_hash)",
+    )
+    buckets = stacked.groupBy("bands", "band_id", "band_hash").agg(
+        F.count("*").alias("n"))
+    return buckets.groupBy("bands").agg(
+        F.expr("CAST(16 / bands AS BIGINT)").alias("rows_per_band"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).cast("long")
+        .alias("n_hot_buckets"),
+        F.sum(F.expr("n * (n - 1) DIV 2")).cast("long")
+        .alias("candidate_pairs"),
+        F.max("n").cast("long").alias("max_bucket"),
+    )
+
+
+@query(
+    "canonical_link_conflict",
+    """
+    WITH p AS (
+      SELECT o_orderkey AS url_id,
+             md5('c' || CAST(o_orderkey % 997 AS VARCHAR)) AS content_fp,
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN 'u' || CAST(o_orderkey % 997 AS VARCHAR) || 'x'
+                  ELSE 'u' || CAST(o_orderkey % 997 AS VARCHAR)
+             END AS canonical
+      FROM orders
+    )
+    SELECT content_fp, COUNT(*) AS n_pages,
+           COUNT(DISTINCT canonical) AS n_canonicals,
+           MIN(canonical) AS canonical_winner,
+           CASE WHEN COUNT(DISTINCT canonical) > 1 THEN 1 ELSE 0 END
+             AS conflict
+    FROM p GROUP BY content_fp HAVING COUNT(*) > 1
+    """,
+)
+def canonical_link_conflict(spark, sf_dir):
+    """rel=canonical consistency audit — exact-duplicate pages (same
+    content fingerprint) SHOULD all declare the same canonical URL;
+    when they don't, the index keeps both copies and the dedup stack's
+    work is undone downstream.  This is the integrity check between
+    two independent signals the crawler collects: the content hash
+    (exact_dedup family) and the page's own canonical declaration
+    (url_canonicalize_dedup normalizes them).  Per fingerprint group:
+    page count, distinct canonical count, the deterministic winner
+    (lexicographic min — the tie rule an index needs to be stable
+    across recrawls), and the conflict flag.  Planted variant
+    declarations (every 11th page claims a 'x'-suffixed canonical)
+    keep the conflict quadrant populated.  ONE fingerprint-keyed
+    rollup: a single shuffle at any corpus size, groups are duplicate
+    clusters (bounded by the dedup cap policy)."""
+    p = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("url_id"),
+        F.md5(F.expr("'c' || CAST(o_orderkey % 997 AS STRING)"))
+        .alias("content_fp"),
+        F.expr("CASE WHEN o_orderkey % 11 = 0"
+               " THEN 'u' || CAST(o_orderkey % 997 AS STRING) || 'x'"
+               " ELSE 'u' || CAST(o_orderkey % 997 AS STRING) END")
+        .alias("canonical"),
+    )
+    return (
+        p.groupBy("content_fp")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("canonical").alias("n_canonicals"),
+            F.min("canonical").alias("canonical_winner"),
+            F.when(F.countDistinct("canonical") > 1, 1).otherwise(0)
+            .alias("conflict"),
+        )
+        .filter(F.col("n_pages") > 1)
+    )
+
+
+@query(
+    "sitemap_crawl_coverage",
+    """
+    WITH sm AS (
+      SELECT DISTINCT o_orderkey AS url_id
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), cr AS (
+      SELECT DISTINCT CASE WHEN l_orderkey % 7 = 0
+                           THEN l_orderkey + 1 ELSE l_orderkey END AS url_id
+      FROM lineitem
+    ), j AS (
+      SELECT COALESCE(sm.url_id, cr.url_id) AS url_id,
+             CASE WHEN sm.url_id IS NOT NULL THEN 1 ELSE 0 END AS in_sitemap,
+             CASE WHEN cr.url_id IS NOT NULL THEN 1 ELSE 0 END AS in_crawl
+      FROM sm FULL OUTER JOIN cr ON sm.url_id = cr.url_id
+    )
+    SELECT url_id % 30 AS host_bucket, COUNT(*) AS n_urls,
+           CAST(SUM(CASE WHEN in_sitemap = 1 AND in_crawl = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN in_sitemap = 1 AND in_crawl = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sitemap_only,
+           CAST(SUM(CASE WHEN in_sitemap = 0 AND in_crawl = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM j GROUP BY 1
+    """,
+)
+def sitemap_crawl_coverage(spark, sf_dir):
+    """Sitemap-vs-crawl coverage reconciliation — the full-outer
+    comparison every crawl runs against each host's declared sitemap:
+    sitemap-only URLs are coverage GAPS the frontier must schedule
+    (the sitemap_url_extract op feeds this side), crawl-only URLs are
+    ORPHANS reachable by links but undeclared (often infinite-space
+    symptoms — crawl_trap_score's input), and the intersection is
+    healthy coverage.  The two sides come from different tables
+    (orders = declared, lineitem-derived = fetched, with a planted
+    key-shift so every quadrant has mass) so this is a genuine
+    distributed full-outer equi-join on url_id — co-partitioned, one
+    shuffle per side, no broadcast assumption since BOTH sides are
+    corpus-sized at 10^10 URLs — followed by a host-bucket rollup."""
+    sm = load(spark, sf_dir, "orders").filter(
+        F.expr("o_orderkey % 3 <> 0")
+    ).select(F.col("o_orderkey").alias("url_id")).distinct()
+    cr = load(spark, sf_dir, "lineitem").select(
+        F.expr("CASE WHEN l_orderkey % 7 = 0 THEN l_orderkey + 1"
+               " ELSE l_orderkey END").alias("url_id")).distinct()
+    j = sm.withColumn("in_sitemap", F.lit(1)).join(
+        cr.withColumn("in_crawl", F.lit(1)), "url_id", "full_outer"
+    ).select(
+        "url_id",
+        F.coalesce("in_sitemap", F.lit(0)).alias("in_sitemap"),
+        F.coalesce("in_crawl", F.lit(0)).alias("in_crawl"),
+    )
+    return j.groupBy((F.col("url_id") % 30).alias("host_bucket")).agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.when((F.col("in_sitemap") == 1) & (F.col("in_crawl") == 1),
+                     1).otherwise(0)).cast("long").alias("n_both"),
+        F.sum(F.when((F.col("in_sitemap") == 1) & (F.col("in_crawl") == 0),
+                     1).otherwise(0)).cast("long").alias("n_sitemap_only"),
+        F.sum(F.when((F.col("in_sitemap") == 0) & (F.col("in_crawl") == 1),
+                     1).otherwise(0)).cast("long").alias("n_orphans"),
+    )
+
+
+@query(
+    "image_dimension_audit",
+    """
+    WITH img AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 23 = 0 THEN 16
+                  WHEN p_partkey % 29 = 0 THEN 4000
+                  ELSE 160 + (p_partkey * 37) % 1920 END AS w,
+             CASE WHEN p_partkey % 23 = 0 THEN 16
+                  WHEN p_partkey % 29 = 0 THEN 50
+                  ELSE 120 + (p_partkey * 53) % 1080 END AS h,
+             CASE WHEN p_partkey % 3 = 0 THEN 'ppm'
+                  WHEN p_partkey % 3 = 1 THEN 'raw'
+                  ELSE 'lossy' END AS fmt
+      FROM part
+    )
+    SELECT fmt, COUNT(*) AS n_images,
+           CAST(SUM(CASE WHEN w * h < 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tiny,
+           CAST(SUM(CASE WHEN greatest(w, h) * 10 >= least(w, h) * 45
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme_aspect,
+           CAST(SUM(CASE WHEN w * h >= 10000
+                         AND greatest(w, h) * 10 < least(w, h) * 45
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_trainable,
+           CAST(SUM(w * h) AS BIGINT) AS total_pixels
+    FROM img GROUP BY fmt
+    """,
+)
+def image_dimension_audit(spark, sf_dir):
+    """Image-corpus dimension gate — the pre-training filter that runs
+    BEFORE any pixel decodes: drop thumbnails/tracking pixels
+    (w·h < 10k), drop extreme aspect ratios (banners, scanline strips
+    — ratio > 4.5, tested by integer cross-multiplication so no float
+    division enters the gate), keep the trainable remainder, and
+    account total pixel mass per format (the decode-cost forecast for
+    the GPU preprocessing fleet).  Companion to aspect_bucket_assign
+    (which BUCKETS the survivors) and image_integrity_audit (which
+    validates bytes); this is the metadata-only pass — at 100 TB it
+    reads ONLY the (w, h, fmt) columns, never the payload bytes, so
+    column pruning makes it a thin-scan + one fmt rollup.  Planted
+    fault classes: every 23rd image a 16×16 thumbnail, every 29th a
+    4000×50 banner."""
+    img = load(spark, sf_dir, "part").select(
+        F.expr("CASE WHEN p_partkey % 23 = 0 THEN 16"
+               " WHEN p_partkey % 29 = 0 THEN 4000"
+               " ELSE 160 + (p_partkey * 37) % 1920 END").alias("w"),
+        F.expr("CASE WHEN p_partkey % 23 = 0 THEN 16"
+               " WHEN p_partkey % 29 = 0 THEN 50"
+               " ELSE 120 + (p_partkey * 53) % 1080 END").alias("h"),
+        F.expr("CASE WHEN p_partkey % 3 = 0 THEN 'ppm'"
+               " WHEN p_partkey % 3 = 1 THEN 'raw'"
+               " ELSE 'lossy' END").alias("fmt"),
+    )
+    return img.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(F.col("w") * F.col("h") < 10000, 1).otherwise(0))
+        .cast("long").alias("n_tiny"),
+        F.sum(F.when(F.expr("greatest(w, h) * 10 >= least(w, h) * 45"),
+                     1).otherwise(0)).cast("long").alias("n_extreme_aspect"),
+        F.sum(F.when(F.expr("w * h >= 10000"
+                            " AND greatest(w, h) * 10 < least(w, h) * 45"),
+                     1).otherwise(0)).cast("long").alias("n_trainable"),
+        F.sum(F.expr("w * h")).cast("long").alias("total_pixels"),
+    )
 
 
 # ---------------------------------------------------------------------------
