@@ -545,3 +545,44 @@ def test_rank_unsalted_is_single_shuffle(spark):
     a = {r["key"] for r in ranked.filter(sel).select("key").collect()}
     b = {r["key"] for r in ranked_hot.filter(sel).select("key").collect()}
     assert a == b
+
+
+def test_band_sweep_single_signature_scan(spark):
+    """All 28 band keys (three b/r configs) project from ONE documents
+    scan — the sweep must not re-scan or re-shingle per config, and
+    pair counts come from bucket sizes (no join of any kind)."""
+    plan = plan_of(spark, "lsh_band_tuning_sweep", "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan
+
+
+def test_image_dimension_audit_prunes_to_key(spark):
+    """The dimension gate is metadata-only: the parquet read schema
+    must carry just the key column the synthetic (w, h, fmt) derive
+    from — never a payload column."""
+    plan = plan_of(spark, "image_dimension_audit")
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "p_partkey" in read_schema
+    assert "p_name" not in read_schema and "p_comment" not in read_schema
+
+
+def test_sitemap_coverage_is_shuffled_equi_join(spark):
+    """Coverage reconciliation is a genuine full-outer equi-join of two
+    corpus-sized sides: no broadcast (either side may be 10^10 rows),
+    no nested loop."""
+    plan = plan_of(spark, "sitemap_crawl_coverage", "simple")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_novelty_decile_no_data_window(spark):
+    """The decile rank must come from with_global_pos (range exchange +
+    offsets broadcast): the only Window in the plan runs over the
+    per-partition offsets frame (count ≤ shuffle partitions), and the
+    doc-sized side joins offsets via broadcast."""
+    plan = plan_of(spark, "ngram_novelty_decile", "simple")
+    assert "ntile" not in plan.lower()
+    # offsets rejoin is broadcast; the 1-row corpus count is broadcast
+    assert plan.count("BroadcastHashJoin") >= 1 or \
+        plan.count("BroadcastNestedLoopJoin") == 1
