@@ -8357,6 +8357,202 @@ def image_dimension_audit(spark, sf_dir):
     )
 
 
+@query(
+    "change_rate_ema_recrawl",
+    """
+    WITH obs AS (
+      SELECT l_orderkey AS url_id,
+             list(CASE WHEN (l_orderkey * 31 + l_linenumber * 17) % 5 < 2
+                       THEN 1000 ELSE 0 END
+                  ORDER BY l_linenumber) AS xs
+      FROM lineitem WHERE l_orderkey % 4 = 0
+      GROUP BY l_orderkey
+    ), e AS (
+      SELECT url_id, len(xs) AS n_obs,
+             CAST(list_reduce(xs, (acc, x) -> (acc * 3 + x) // 4)
+                  AS BIGINT) AS ema_permille
+      FROM obs
+    )
+    SELECT url_id, n_obs, ema_permille,
+           CASE WHEN ema_permille >= 500 THEN 'hot'
+                WHEN ema_permille >= 200 THEN 'warm'
+                ELSE 'cold' END AS recrawl_tier
+    FROM e
+    """,
+)
+def change_rate_ema_recrawl(spark, sf_dir):
+    """Per-URL change-rate EMA → recrawl tier — the adaptive-revisit
+    policy real crawlers converge on (Cho & Garcia-Molina's frequency
+    estimation, industrially an exponential moving average): each
+    observation is 'page changed since last fetch?' and the tier
+    decides whether the URL re-enters the frontier hourly, daily, or
+    monthly (recrawl_priority ranks WITHIN a tier; this op assigns
+    the tier from history).  The EMA is an ORDER-SENSITIVE fold —
+    windows can't express it, joins can't — computed in-row:
+    per-URL histories collect into an observation-ordered array (one
+    url-keyed shuffle, histories are fetch-cadence-bounded ≈ tens of
+    entries) and a JVM-side aggregate() folds α=1/4 in exact integer
+    permille arithmetic, acc' = (3·acc + x) DIV 4, seeded with the
+    first observation — bit-identical to DuckDB's list_reduce, which
+    uses exactly that seeding.  No float ever enters; the fold never
+    leaves the executor."""
+    obs = load(spark, sf_dir, "lineitem").filter(
+        F.expr("l_orderkey % 4 = 0")
+    ).select(
+        F.col("l_orderkey").alias("url_id"),
+        F.col("l_linenumber").alias("ln"),
+        F.expr("CAST(CASE WHEN (l_orderkey * 31 + l_linenumber * 17) % 5 < 2"
+               " THEN 1000 ELSE 0 END AS BIGINT)").alias("changed"),
+    ).groupBy("url_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(ln, changed))),"
+               " s -> s.changed)").alias("xs"))
+    e = obs.select(
+        "url_id",
+        F.size("xs").cast("long").alias("n_obs"),
+        F.expr("aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1),"
+               " (acc, x) -> (acc * 3 + x) DIV 4)").alias("ema_permille"),
+    )
+    return e.select(
+        "url_id", "n_obs", "ema_permille",
+        F.expr("CASE WHEN ema_permille >= 500 THEN 'hot'"
+               " WHEN ema_permille >= 200 THEN 'warm'"
+               " ELSE 'cold' END").alias("recrawl_tier"),
+    )
+
+
+@query(
+    "markup_depth_audit",
+    """
+    WITH d AS (
+      SELECT o_orderkey AS doc_id,
+             list_transform(generate_series(1, 20 + o_orderkey % 30),
+               i -> CASE WHEN (o_orderkey + i * i) % 7
+                         < 3 + o_orderkey % 3
+                         THEN 1 ELSE -1 END) AS deltas
+      FROM orders
+    ), p AS (
+      SELECT doc_id, unnest(deltas) AS delta,
+             generate_subscripts(deltas, 1) AS pos
+      FROM d
+    ), r AS (
+      SELECT doc_id, pos,
+             SUM(delta) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS depth
+      FROM p
+    ), s AS (
+      SELECT doc_id, CAST(MAX(depth) AS BIGINT) AS max_depth,
+             CAST(SUM(CASE WHEN depth < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_underflow,
+             arg_max(depth, pos) AS final_depth
+      FROM r GROUP BY doc_id
+    )
+    SELECT max_depth,
+           CAST(n_underflow = 0 AND final_depth = 0 AS INT) AS well_formed,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_underflow) AS BIGINT) AS total_underflow
+    FROM s GROUP BY 1, 2
+    """,
+)
+def markup_depth_audit(spark, sf_dir):
+    """HTML nesting-depth / well-formedness audit over tag streams —
+    the parser-health histogram a crawl's extraction stage watches:
+    open/close tags as +1/−1 deltas, nesting depth = running prefix
+    sum per document, a close-without-open shows as depth < 0
+    (underflow), and well-formed means no underflow AND final depth 0.
+    Pathologically deep nesting (div-soup, a crawler-trap signature)
+    lands in the high-max_depth buckets, feeding the same drop gate as
+    crawl_trap_score.  The prefix sum partitions by doc — one
+    token-shuffle keyed by doc_id, windows never cross documents, so
+    the 10^10-doc audit is embarrassingly partition-parallel.
+    Deterministic key-derived tag streams keep every (depth,
+    well-formed) quadrant populated."""
+    d = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.expr("transform(sequence(1, 20 + CAST(o_orderkey % 30 AS INT)),"
+               " i -> CASE WHEN (o_orderkey + i * i) % 7"
+               " < 3 + o_orderkey % 3"
+               " THEN 1 ELSE -1 END)").alias("deltas"),
+    )
+    p = d.select("doc_id", F.posexplode("deltas").alias("pos", "delta"))
+    r = p.withColumn(
+        "depth",
+        F.sum("delta").over(
+            W.partitionBy("doc_id").orderBy("pos")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)),
+    ).withColumn(
+        "is_last",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("pos"))) == 1,
+    )
+    s = r.groupBy("doc_id").agg(
+        F.max("depth").cast("long").alias("max_depth"),
+        F.sum(F.when(F.col("depth") < 0, 1).otherwise(0))
+        .cast("long").alias("n_underflow"),
+        F.max(F.when(F.col("is_last"), F.col("depth"))).alias("final_depth"),
+    ).select(
+        "doc_id", "max_depth", "n_underflow",
+        F.expr("CAST(n_underflow = 0 AND final_depth = 0 AS INT)")
+        .alias("well_formed"),
+    )
+    return s.groupBy("max_depth", "well_formed").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_underflow").cast("long").alias("total_underflow"),
+    )
+
+
+@query(
+    "image_metadata_privacy_audit",
+    """
+    WITH m AS (
+      SELECT CASE WHEN p_partkey % 3 = 0 THEN 'ppm'
+                  WHEN p_partkey % 3 = 1 THEN 'raw'
+                  ELSE 'lossy' END AS fmt,
+             CASE WHEN p_partkey % 17 = 0 THEN 1 ELSE 0 END AS has_gps,
+             CASE WHEN p_partkey % 19 = 0 THEN 1 ELSE 0 END AS has_serial,
+             CASE WHEN p_partkey % 23 = 0 THEN 1 ELSE 0 END AS has_face_tag
+      FROM part
+    )
+    SELECT fmt, COUNT(*) AS n_images,
+           CAST(SUM(has_gps) AS BIGINT) AS n_gps,
+           CAST(SUM(has_serial) AS BIGINT) AS n_serial,
+           CAST(SUM(has_face_tag) AS BIGINT) AS n_face_tag,
+           CAST(SUM(CASE WHEN has_gps + has_serial + has_face_tag > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_strip_required
+    FROM m GROUP BY fmt
+    """,
+)
+def image_metadata_privacy_audit(spark, sf_dir):
+    """Image-metadata privacy gate — the PII pass for the IMAGE side of
+    the corpus (pii_redaction covers text): embedded GPS coordinates,
+    device serial numbers, and face-region tags each mandate a
+    metadata-strip rewrite before the image enters a training set or a
+    public index.  Flags are synthesized deterministically from the
+    key (the container ships no EXIF parser — the real extractor is a
+    mapInPandas decode over the binary column, exactly the
+    multimodal.py plumbing; THIS op is the corpus-scale accounting
+    that sizes the strip-rewrite job).  In-row flags + ONE fmt rollup:
+    scan-shaped; at 100 TB the gate reads metadata columns only."""
+    m = load(spark, sf_dir, "part").select(
+        F.expr("CASE WHEN p_partkey % 3 = 0 THEN 'ppm'"
+               " WHEN p_partkey % 3 = 1 THEN 'raw'"
+               " ELSE 'lossy' END").alias("fmt"),
+        F.expr("CASE WHEN p_partkey % 17 = 0 THEN 1 ELSE 0 END")
+        .alias("has_gps"),
+        F.expr("CASE WHEN p_partkey % 19 = 0 THEN 1 ELSE 0 END")
+        .alias("has_serial"),
+        F.expr("CASE WHEN p_partkey % 23 = 0 THEN 1 ELSE 0 END")
+        .alias("has_face_tag"),
+    )
+    return m.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum("has_gps").cast("long").alias("n_gps"),
+        F.sum("has_serial").cast("long").alias("n_serial"),
+        F.sum("has_face_tag").cast("long").alias("n_face_tag"),
+        F.sum(F.when(F.expr("has_gps + has_serial + has_face_tag > 0"),
+                     1).otherwise(0)).cast("long").alias("n_strip_required"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
