@@ -8553,6 +8553,100 @@ def image_metadata_privacy_audit(spark, sf_dir):
     )
 
 
+@query(
+    "image_caption_prep",
+    """
+    WITH img AS (
+      SELECT p_partkey AS image_id,
+             CASE WHEN p_partkey % 23 = 0 THEN 16
+                  ELSE 160 + (p_partkey * 37) % 1920 END AS w,
+             CASE WHEN p_partkey % 23 = 0 THEN 16
+                  ELSE 120 + (p_partkey * 53) % 1080 END AS h,
+             CASE WHEN p_partkey % 3 = 0 THEN 'ppm'
+                  WHEN p_partkey % 3 = 1 THEN 'raw'
+                  ELSE 'lossy' END AS fmt,
+             md5('px' || CAST(p_partkey % 1500 AS VARCHAR)) AS phash,
+             CASE WHEN p_partkey % 31 = 0 THEN 'thing'
+                  ELSE 'a detailed photo of item '
+                       || CAST(p_partkey % 1500 AS VARCHAR)
+                       || ' shown on a neutral background'
+             END AS caption
+      FROM part
+    ), gated AS (
+      SELECT * FROM img
+      WHERE w * h >= 10000
+        AND greatest(w, h) * 10 < least(w, h) * 45
+        AND len(caption) >= 20
+        AND len(string_split(caption, ' ')) >= 4
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY phash
+                                     ORDER BY image_id) AS rn
+        FROM gated) WHERE rn = 1
+    ), ranked AS (
+      SELECT image_id, w, h, fmt, len(caption) AS caption_len,
+             ROW_NUMBER() OVER (ORDER BY image_id) - 1 AS pos
+      FROM deduped
+    )
+    SELECT image_id, w, h, fmt, caption_len,
+           CAST(pos // 256 AS BIGINT) AS shard_id
+    FROM ranked
+    """,
+)
+def image_caption_prep(spark, sf_dir):
+    """End-to-end image+caption training-data prep — the IMAGE-side
+    twin of training_data_prep and the composition the north-star
+    engine exists to feed: (1) metadata dimension gate (thumbnails and
+    extreme aspect ratios out, integer cross-multiplied — the
+    image_dimension_audit predicate applied, not just counted),
+    (2) caption quality gate (length + word-count floors, the
+    caption_filter_funnel rules applied), (3) exact-phash dedup
+    keeping the smallest image_id per perceptual hash (rank-1 window
+    per phash group — near-dup phash clustering is
+    image_phash_near_dups; prep uses the exact tier), and (4)
+    deterministic 256-pairs-per-shard assignment in acquisition order
+    for the archive writer (warc_chunk_index's byte-target roll is the
+    payload side; shards here are fixed-count pair files a training
+    loader maps).  The shard ordinal does NOT use a global row_number
+    window: scheduler.with_global_pos supplies the rank via range
+    exchange + per-partition offsets, so the whole prep is gate →
+    one phash shuffle → one range exchange at 10^10 pairs.  Planted
+    fault mass: every 23rd image a thumbnail, every 31st caption
+    degenerate, phash space deliberately smaller than the corpus so
+    dedup removes real mass."""
+    img = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("image_id"),
+        F.expr("CASE WHEN p_partkey % 23 = 0 THEN 16"
+               " ELSE 160 + (p_partkey * 37) % 1920 END").alias("w"),
+        F.expr("CASE WHEN p_partkey % 23 = 0 THEN 16"
+               " ELSE 120 + (p_partkey * 53) % 1080 END").alias("h"),
+        F.expr("CASE WHEN p_partkey % 3 = 0 THEN 'ppm'"
+               " WHEN p_partkey % 3 = 1 THEN 'raw'"
+               " ELSE 'lossy' END").alias("fmt"),
+        F.md5(F.expr("'px' || CAST(p_partkey % 1500 AS STRING)"))
+        .alias("phash"),
+        F.expr("CASE WHEN p_partkey % 31 = 0 THEN 'thing'"
+               " ELSE concat('a detailed photo of item ',"
+               " CAST(p_partkey % 1500 AS STRING),"
+               " ' shown on a neutral background') END").alias("caption"),
+    )
+    gated = img.filter(
+        F.expr("w * h >= 10000 AND greatest(w, h) * 10 < least(w, h) * 45"
+               " AND length(caption) >= 20"
+               " AND size(split(caption, ' ')) >= 4"))
+    deduped = gated.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("phash").orderBy("image_id"))
+    ).filter(F.col("rn") == 1).withColumn(
+        "caption_len", F.length("caption").cast("long")
+    ).drop("rn", "phash", "caption")
+    ranked = scheduler.with_global_pos(deduped, ["image_id"], out_col="pos")
+    return ranked.select(
+        "image_id", "w", "h", "fmt", "caption_len",
+        F.expr("pos DIV 256").cast("long").alias("shard_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
