@@ -8647,6 +8647,139 @@ def image_caption_prep(spark, sf_dir):
     )
 
 
+@query(
+    "frontier_score_quota",
+    """
+    WITH u AS (
+      SELECT o_orderkey AS url_id,
+             'h' || CAST(o_custkey % 25 AS VARCHAR) AS host,
+             (o_orderkey * 7) % 1000 AS pagerank_milli,
+             (o_orderkey * 13) % 1000 AS freshness_milli,
+             o_orderkey % 8 AS depth
+      FROM orders
+    ), s AS (
+      SELECT url_id, host,
+             5 * pagerank_milli + 3 * freshness_milli - 200 * depth AS score
+      FROM u
+    ), r AS (
+      SELECT url_id, host, score,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY score DESC, url_id) AS host_rank
+      FROM s
+    )
+    SELECT url_id, host, CAST(score AS BIGINT) AS score, host_rank
+    FROM r WHERE host_rank <= 20
+    """,
+)
+def frontier_score_quota(spark, sf_dir):
+    """Multi-signal frontier scoring with per-host quota — the
+    selection rule the north-star priority queue runs each epoch,
+    composed from the signal families the engine already computes
+    separately: link authority (pagerank_host_priority), freshness
+    demand (recrawl_priority / change_rate_ema_recrawl) and crawl
+    depth (frontier_bfs_depth), fused as one integer linear score so
+    ordering is total and reproducible (no float weights — the exact
+    tie-break by url_id is what makes two clusters produce the SAME
+    epoch, the north rule's crawl-order match).  Per-host top-20 via
+    row_number over (host) — the politeness quota — means the plan is
+    ONE host-keyed window shuffle; rank_per_host in scheduler.py is
+    this same shape plus budget-join and salting, so the op doubles
+    as its oracle-checkable twin."""
+    u = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("url_id"),
+        F.expr("'h' || CAST(o_custkey % 25 AS STRING)").alias("host"),
+        F.expr("(o_orderkey * 7) % 1000").alias("pagerank_milli"),
+        F.expr("(o_orderkey * 13) % 1000").alias("freshness_milli"),
+        F.expr("o_orderkey % 8").alias("depth"),
+    )
+    s = u.select(
+        "url_id", "host",
+        F.expr("5 * pagerank_milli + 3 * freshness_milli - 200 * depth")
+        .alias("score"),
+    )
+    r = s.withColumn(
+        "host_rank",
+        F.row_number().over(
+            W.partitionBy("host").orderBy(F.desc("score"), "url_id")),
+    )
+    return r.filter(F.col("host_rank") <= 20).select(
+        "url_id", "host", F.col("score").cast("long").alias("score"),
+        "host_rank",
+    )
+
+
+@query(
+    "budget_apportionment",
+    """
+    WITH d AS (
+      SELECT 'h' || CAST(c_custkey % 50 AS VARCHAR) AS host,
+             COUNT(*) AS demand
+      FROM customer GROUP BY 1
+    ), t AS (
+      SELECT host, demand,
+             10000 * demand // SUM(demand) OVER () AS floor_alloc,
+             (10000 * demand) % (SUM(demand) OVER ()) AS remainder,
+             SUM(demand) OVER () AS total_demand
+      FROM d
+    ), r AS (
+      SELECT host, demand, floor_alloc, remainder,
+             ROW_NUMBER() OVER (ORDER BY remainder DESC, host) AS rem_rank,
+             10000 - SUM(floor_alloc) OVER () AS n_extra
+      FROM t
+    )
+    SELECT host, CAST(demand AS BIGINT) AS demand,
+           CAST(floor_alloc + CASE WHEN rem_rank <= n_extra
+                                   THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+           CAST(CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END
+                AS INT) AS got_extra
+    FROM r
+    """,
+)
+def budget_apportionment(spark, sf_dir):
+    """Global fetch-budget apportionment across hosts — when one epoch
+    may issue exactly B requests fleet-wide (an upstream rate contract,
+    a proxy-pool size), the per-host split must be proportional to
+    demand, integer, and sum EXACTLY to B.  Largest-remainder (Hamilton)
+    apportionment does all three deterministically: floor(B·dᵢ/D) for
+    everyone, then one extra request to the hosts with the largest
+    remainders until B is exhausted, ties broken by host name so two
+    clusters allocate identically (the same total-order discipline as
+    the crawl-order rule).  The demand rollup is the only data-scale
+    shuffle; everything after runs on the HOST table (windows over
+    host-count rows — at 10^6 hosts still a single executor's work,
+    and the global SUM() OVER () windows are per-host-table, never
+    per-URL).  dispatch_budget_utilization audits what a budget DID;
+    this op computes what it SHOULD BE."""
+    d = load(spark, sf_dir, "customer").select(
+        F.expr("'h' || CAST(c_custkey % 50 AS STRING)").alias("host")
+    ).groupBy("host").agg(F.count("*").alias("demand"))
+    everything = W.partitionBy()
+    t = d.select(
+        "host", "demand",
+        F.expr("10000 * demand").alias("scaled"),
+        F.sum("demand").over(everything).alias("total_demand"),
+    ).select(
+        "host", "demand",
+        F.expr("scaled DIV total_demand").alias("floor_alloc"),
+        F.expr("scaled % total_demand").alias("remainder"),
+    )
+    r = t.withColumn(
+        "rem_rank",
+        F.row_number().over(W.orderBy(F.desc("remainder"), "host")),
+    ).withColumn(
+        "n_extra",
+        F.lit(10000) - F.sum("floor_alloc").over(everything),
+    )
+    return r.select(
+        "host", F.col("demand").cast("long").alias("demand"),
+        (F.col("floor_alloc")
+         + F.when(F.col("rem_rank") <= F.col("n_extra"), 1).otherwise(0))
+        .cast("long").alias("alloc"),
+        F.when(F.col("rem_rank") <= F.col("n_extra"), 1).otherwise(0)
+        .cast("int").alias("got_extra"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
