@@ -8780,6 +8780,164 @@ def budget_apportionment(spark, sf_dir):
     )
 
 
+@query(
+    "stream_sliding_rate_monitor",
+    """
+    WITH e AS (
+      SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host, ts FROM events
+    ), x AS (
+      SELECT host, ts,
+             time_bucket(INTERVAL '15 minutes', ts)
+               - (k * INTERVAL '15 minutes') AS win_start
+      FROM e, (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+           host, COUNT(*) AS n
+    FROM x GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_rate_monitor(spark, sf_dir):
+    """Sliding-window per-host rate monitor, streaming and
+    oracle-value-checked — the live dashboard behind the politeness
+    SLA: requests per host over a 1-hour window sliding every 15
+    minutes (a tumbling hour hides a burst that straddles the
+    boundary; the 4× overlap is what catches it), run as a REAL
+    readStream → window(1h, 15m) → writeStream drained with
+    Trigger.AvailableNow in complete mode.  Spark expands each event
+    into its window/slide=4 member windows IN-ROW before the stateful
+    aggregation — state is (window, host)-keyed and
+    watermark-bounded; the oracle replicates the expansion with an
+    explicit 4-offset unnest against epoch-aligned 15-minute buckets
+    (identical alignment: both engines floor to multiples of the
+    slide).  Complements crawl_delay_compliance (per-gap audit) with
+    the windowed-rate view."""
+    import os
+    import shutil
+
+    from . import streaming
+
+    d = tempfile.mkdtemp(prefix="ycrawl_stream_rate_")
+    src = os.path.join(d, "in")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, "part-000.parquet"))
+    stream = streaming.stream_source(
+        spark, src, streaming.EVENTS_SCHEMA
+    ).withColumn("host", F.expr("'h' || CAST(user_id % 20 AS STRING)"))
+    agg = streaming.windowed_counts(
+        stream, window="1 hour", slide="15 minutes",
+        watermark="10 days", key="host")
+    name = streaming.run_available_now(
+        agg, os.path.join(d, "ckpt"), out_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "lang_rebalance_plan",
+    """
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), t AS (
+      SELECT lang, n,
+             SUM(n) OVER () AS total,
+             COUNT(*) OVER () AS n_langs
+      FROM c
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(total // n_langs AS BIGINT) AS target_docs,
+           CAST(LEAST(1000, (1000 * (total // n_langs)) // n) AS BIGINT)
+             AS keep_rate_permille,
+           CAST(n * LEAST(1000, (1000 * (total // n_langs)) // n) // 1000
+                AS BIGINT) AS expected_docs
+    FROM t
+    """,
+)
+def lang_rebalance_plan(spark, sf_dir):
+    """Multilingual corpus rebalancing plan — the concrete sampling
+    schedule that fixes what subword_fertility_by_lang diagnoses: given
+    per-language counts and a uniform target share, the integer keep
+    rate (permille, capped at 1000 — rebalancing DOWN-samples the
+    head, never fabricates tail data) and the expected post-sampling
+    count per language.  mixture_sampling EXECUTES a rate schedule
+    with deterministic md5 coins; this op COMPUTES the schedule from
+    the corpus itself, closing the loop.  One language rollup is the
+    only data-scale shuffle; the global windows run over the language
+    table (dozens of rows).  All arithmetic integer permille —
+    cross-multiplied DIVs, no float shares — so the plan is
+    bit-identical on any cluster."""
+    c = load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n"))
+    everything = W.partitionBy()
+    t = c.select(
+        "lang", "n",
+        F.sum("n").over(everything).alias("total"),
+        F.count("*").over(everything).alias("n_langs"),
+    )
+    return t.select(
+        "lang", F.col("n").cast("long").alias("n_docs"),
+        F.expr("total DIV n_langs").cast("long").alias("target_docs"),
+        F.expr("LEAST(1000, (1000 * (total DIV n_langs)) DIV n)")
+        .cast("long").alias("keep_rate_permille"),
+        F.expr("n * LEAST(1000, (1000 * (total DIV n_langs)) DIV n)"
+               " DIV 1000").cast("long").alias("expected_docs"),
+    )
+
+
+@query(
+    "token_budget_truncation",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE len(text) > 0
+    ), c AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             COALESCE(
+               list_max(list_filter(
+                 generate_series(1, LEAST(len(tk), 64)),
+                 i -> tk[i] LIKE '%.')),
+               LEAST(len(tk), 64)) AS kept_tokens
+      FROM d
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(kept_tokens AS BIGINT) AS kept_tokens,
+           CAST(n_tokens - kept_tokens AS BIGINT) AS dropped_tokens,
+           CAST(n_tokens > 64 AS INT) AS truncated
+    FROM c
+    """,
+)
+def token_budget_truncation(spark, sf_dir):
+    """Context-budget truncation at a sentence boundary — the packing
+    preprocessor's cut rule: a document entering a 64-token example
+    budget is cut at the LAST sentence end ('.'-terminated token)
+    inside the budget, falling back to a hard cut when no boundary
+    exists (pack_sequence_chunks then fills examples with the kept
+    prefixes; sliding_chunks_rag is the overlapping variant for
+    retrieval).  The boundary search is in-row higher-order-function
+    work — filter over a bounded index sequence, array_max, coalesce —
+    no explode, no token rows materialized, scan-shaped at 100 TB.
+    Reports kept/dropped token accounting per document (the loss the
+    budget inflicts, which is the number that decides whether the
+    budget or the corpus segmentation needs changing)."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.expr("length(text) > 0")
+    ).select("doc_id", F.split("text", " ").alias("tk"))
+    c = d.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.expr("array_max(filter(sequence(1, LEAST(size(tk), 64)),"
+                   " i -> element_at(tk, i) LIKE '%.'))"),
+            F.expr("LEAST(size(tk), 64)"),
+        ).cast("long").alias("kept_tokens"),
+    )
+    return c.select(
+        "doc_id", "n_tokens", "kept_tokens",
+        (F.col("n_tokens") - F.col("kept_tokens")).cast("long")
+        .alias("dropped_tokens"),
+        F.expr("CAST(n_tokens > 64 AS INT)").alias("truncated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #

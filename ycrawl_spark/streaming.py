@@ -47,18 +47,25 @@ def stream_source(spark: SparkSession, path: str, schema: str,
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour",
-                    watermark: str = "30 minutes") -> DataFrame:
-    """Watermarked tumbling-window counts per event type — the
-    streaming form of the daily drift snapshot aggregation
-    (/root/reference/DataProcessor/drift.py:17-22)."""
+                    watermark: str = "30 minutes",
+                    slide: str | None = None,
+                    key: str = "event_type") -> DataFrame:
+    """Watermarked window counts per key — tumbling by default, SLIDING
+    when ``slide`` < ``window`` (each event lands in window/slide
+    overlapping windows; Spark expands in-row before the stateful agg).
+    The tumbling form is the streaming daily drift snapshot
+    (/root/reference/DataProcessor/drift.py:17-22); the sliding form is
+    the live per-host rate monitor."""
+    win = (F.window("ts", window, slide) if slide
+           else F.window("ts", window))
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .groupBy(win.alias("win"), key)
         .agg(F.count("*").alias("n"))
         .select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
-            "event_type", "n",
+            key, "n",
         )
     )
 
