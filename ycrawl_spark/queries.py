@@ -8938,6 +8938,115 @@ def token_budget_truncation(spark, sf_dir):
     )
 
 
+@query(
+    "politeness_adaptation_step",
+    """
+    WITH f AS (
+      SELECT 'h' || CAST(user_id % 30 AS VARCHAR) AS host,
+             1000 * (1 + user_id % 30 % 5) AS delay_ms,
+             CASE WHEN (event_id * 7) % 100 < (user_id % 30) % 13
+                  THEN 1 ELSE 0 END AS is_429
+      FROM events
+    ), s AS (
+      SELECT host, delay_ms, COUNT(*) AS n_requests,
+             CAST(SUM(is_429) AS BIGINT) AS n_429
+      FROM f GROUP BY host, delay_ms
+    )
+    SELECT host, n_requests, n_429,
+           CAST(delay_ms AS BIGINT) AS delay_ms,
+           CAST(CASE WHEN 100 * n_429 >= 5 * n_requests
+                     THEN LEAST(60000, delay_ms * 2)
+                     WHEN n_429 = 0
+                     THEN GREATEST(500, delay_ms - 250)
+                     ELSE delay_ms END AS BIGINT) AS next_delay_ms
+    FROM s
+    """,
+)
+def politeness_adaptation_step(spark, sf_dir):
+    """AIMD politeness adaptation — the per-epoch control step that
+    turns 429/Retry-After feedback into the next epoch's crawl-delay:
+    multiplicative increase (double, capped at 60 s) when a host's 429
+    rate crosses 5%, additive decrease (−250 ms, floored at 500 ms)
+    after a clean epoch, hold otherwise — TCP congestion control's
+    AIMD shape, which is the standard adaptive-politeness loop because
+    it converges to the host's real serving capacity without
+    coordination.  The rate test is integer cross-multiplied
+    (100·n429 ≥ 5·n), the update pure CASE arithmetic; ONE host rollup
+    is the only shuffle, and the output table is exactly what
+    gcra_rate_limit_admission consumes as next epoch's rate
+    parameter — the closed control loop.  Deterministic planted 429
+    rates straddle the 5% threshold across hosts so all three
+    branches carry mass."""
+    f = load(spark, sf_dir, "events").select(
+        F.expr("'h' || CAST(user_id % 30 AS STRING)").alias("host"),
+        F.expr("1000 * (1 + user_id % 30 % 5)").alias("delay_ms"),
+        F.expr("CASE WHEN (event_id * 7) % 100 < (user_id % 30) % 13"
+               " THEN 1 ELSE 0 END").alias("is_429"),
+    )
+    s = f.groupBy("host", "delay_ms").agg(
+        F.count("*").alias("n_requests"),
+        F.sum("is_429").cast("long").alias("n_429"),
+    )
+    return s.select(
+        "host", "n_requests", "n_429",
+        F.col("delay_ms").cast("long").alias("delay_ms"),
+        F.expr("CAST(CASE WHEN 100 * n_429 >= 5 * n_requests"
+               " THEN LEAST(60000, delay_ms * 2)"
+               " WHEN n_429 = 0 THEN GREATEST(500, delay_ms - 250)"
+               " ELSE delay_ms END AS BIGINT)").alias("next_delay_ms"),
+    )
+
+
+@query(
+    "blocklist_match_audit",
+    """
+    WITH u AS (
+      SELECT o_orderkey AS url_id,
+             '/r' || CAST(o_orderkey % 5 AS VARCHAR) || '/cat/'
+               || CAST(o_orderkey % 97 AS VARCHAR) || '/item'
+               AS path
+      FROM orders
+    ), pat AS (
+      SELECT '%/cat/' || CAST(r_regionkey * 19 AS VARCHAR) || '/%' AS pattern,
+             r_regionkey AS rule_id
+      FROM region
+    )
+    SELECT rule_id, pattern, COUNT(u.url_id) AS n_matched
+    FROM pat LEFT JOIN u ON u.path LIKE pat.pattern
+    GROUP BY rule_id, pattern
+    """,
+)
+def blocklist_match_audit(spark, sf_dir):
+    """URL blocklist hit-rate audit — how much frontier mass each
+    blocklist rule (operator-maintained LIKE patterns: spam paths,
+    infinite calendars, session-id traps) actually removes, which is
+    how dead rules get retired and over-broad ones get caught before
+    they starve a host's legitimate pages.  Pattern matching against
+    an arbitrary-pattern list is NOT an equi-join — the correct plan
+    at 10^10 URLs is a BROADCAST nested-loop of the tiny rule table
+    (dozens of rows) against the URL scan, each URL testing every
+    rule in-row; this op embraces that plan deliberately (the one
+    place a nested loop is right — contrast range_join_windows, which
+    exists to pin its absence for interval joins) and the LEFT join
+    direction keeps zero-hit rules in the report.  Planted rule set:
+    region-keyed patterns with very different selectivities, one
+    matching nothing."""
+    u = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("url_id"),
+        F.expr("'/r' || CAST(o_orderkey % 5 AS STRING) || '/cat/'"
+               " || CAST(o_orderkey % 97 AS STRING) || '/item'")
+        .alias("path"),
+    )
+    pat = load(spark, sf_dir, "region").select(
+        F.expr("'%/cat/' || CAST(r_regionkey * 19 AS STRING) || '/%'")
+        .alias("pattern"),
+        F.col("r_regionkey").alias("rule_id"),
+    )
+    j = F.broadcast(pat).join(u, F.expr("path LIKE pattern"), "left")
+    return j.groupBy("rule_id", "pattern").agg(
+        F.count("url_id").alias("n_matched"))
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
