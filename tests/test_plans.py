@@ -586,3 +586,35 @@ def test_novelty_decile_no_data_window(spark):
     # offsets rejoin is broadcast; the 1-row corpus count is broadcast
     assert plan.count("BroadcastHashJoin") >= 1 or \
         plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_blocklist_is_broadcast_nested_loop_build_tiny(spark):
+    """Pattern matching is the ONE place a nested loop is the right
+    plan — but only with the RULE table as the broadcast build side;
+    the URL side must stream."""
+    plan = plan_of(spark, "blocklist_match_audit", "simple")
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frontier_quota_single_host_window(spark):
+    """Frontier scoring + per-host quota is one window shuffle keyed by
+    host — no join, no global sort."""
+    plan = plan_of(spark, "frontier_score_quota", "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "hashpartitioning(host" in plan, plan
+
+
+def test_image_caption_prep_no_global_window(spark):
+    """The shard ordinal comes from with_global_pos — ntile/global
+    row_number over the pair table must not appear (the only windows
+    are the per-phash dedup rank and the offsets frame)."""
+    plan = plan_of(spark, "image_caption_prep", "simple")
+    assert "ntile" not in plan.lower()
+    # dedup window partitions by phash, never an empty partition-by
+    # over the data (the offsets window runs over ≤ n_partitions rows,
+    # recognizable by its _pid key)
+    import re
+    for m in re.finditer(r"Window \[[^\]]*row_number[^\]]*partitionBy=\[\]", plan):
+        raise AssertionError("global data window found: " + m.group(0))
