@@ -9110,10 +9110,10 @@ DRIVER_WINDOW: list[str] = [
     "dsir_importance_weights",      # r04: DSIR data-selection scores
     "phash_hamming_hist",           # r04: phash threshold calibration
     "hits_hub_authority",           # r04: integer HITS hubs/authorities
-    "crossmodal_dup_audit",      # r03: joint-modality dedup audit (VERDICT #7)
-    "ivf_md5_ann_topk",          # r03: value-gated quantized ANN (VERDICT #8)
+    "crossmodal_dup_audit",      # r03→r04: LINEARIZED co-cluster audit — re-gate
     "pq_md5_ann_topk",           # r04: value-gated PQ/ADC ANN (VERDICT r03 #4)
-    "minhash_jaccard_estimate",  # r03: sketch-vs-exact threshold audit
+    "image_caption_prep",        # r04 late: flagship image+caption prep chain
+    "stream_sessionize",         # r04 late: value-gated streaming session windows
     "surt_domain_rollup",        # r04: reverse-domain storage keying
 ]
 
