@@ -204,3 +204,22 @@ def test_incremental_files_and_host_throughput(spark, events_dir, tmp_path):
                                         table_name="evt_counts")
     second = {r["event_type"]: r["n"] for r in spark.table(name2).collect()}
     assert sum(second.values()) == 2 * n1
+
+
+def test_session_window_merges_exact_gap_boundary(spark):
+    """Two events exactly `gap` apart MERGE into one session (Spark
+    merges touching [t, t+gap) windows; a new session needs a gap
+    STRICTLY greater) — the rule the stream_sessionize oracle mirrors
+    with `>` rather than `>=`."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00"),
+         (1, "2024-01-01 01:00:00.000001")],
+        "user_id int, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n"))
+    )
+    rows = sorted((r["n"] for r in out.collect()))
+    # 00:00 and 00:30 merge (exact gap); 01:00.000001 starts a new one
+    assert rows == [1, 2]

@@ -8042,7 +8042,7 @@ def soft404_detection(spark, sf_dir):
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                       >= 1800000000 THEN 1 ELSE 0 END AS brk
+                       > 1800000000 THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
@@ -8062,8 +8062,9 @@ def stream_sessionize(spark, sf_dir):
     readStream → session_window(gap=30m) → writeStream run drained
     with Trigger.AvailableNow in complete mode, compared against the
     batch gaps-and-islands identity (new session iff the gap to the
-    previous event is ≥ the session gap; a Spark session window spans
-    [first_ts, last_ts + gap)).  This is the stateful-merge operator
+    previous event STRICTLY exceeds the session gap — an event exactly
+    gap-after still merges, probed against Spark's session_window;
+    a session spans [first_ts, last_ts + gap)).  This is the stateful-merge operator
     the engine's visit-sessionization would run live (batch twin:
     sessionize_users); merging session state across micro-batches is
     the part availableNow genuinely exercises, since the source splits
