@@ -420,3 +420,39 @@ def test_image_border_crop_exact(spark):
     assert len(got) == cfg.n_urls
     assert fmts == {"raw", "ppm", "lossy"}  # every codec branch exercised
     assert n_with_border >= 100  # borders actually planted
+
+
+def test_image_gray_histogram_matches_numpy(spark):
+    """Every (image, bin, n_px) row equals the numpy bincount of the
+    decoded pixels, and per-image bin counts sum to w·h."""
+    imgs = _images_df(spark, n=12)
+    hist = multimodal.image_gray_histogram(imgs, bins=16).collect()
+    got = {}
+    for r in hist:
+        got.setdefault(r["image_id"], {})[r["bin"]] = r["n_px"]
+    rows = {r["image_id"]: r for r in imgs.collect()}
+    for iid, row in rows.items():
+        px = codecs.decode(bytes(row["bytes"])).astype(np.float64)
+        gray = np.clip(px.mean(axis=2), 0, 255).astype(np.int64)
+        counts = np.bincount(np.minimum(gray // 16, 15).ravel(), minlength=16)
+        expect = {int(i): int(counts[i]) for i in np.nonzero(counts)[0]}
+        assert got.get(iid) == expect, iid
+        assert sum(expect.values()) == row["w"] * row["h"]
+
+
+def test_image_exposure_audit_flags_flat_images(spark):
+    """A planted single-intensity image must be counted near-flat in
+    its dominant bin's rollup row."""
+    import pandas as pd
+
+    flat = codecs.encode(np.full((8, 8, 3), 200, dtype=np.uint8), "ppm")
+    imgs = _images_df(spark, n=6).unionByName(spark.createDataFrame(
+        pd.DataFrame([{
+            "image_id": "flat0", "bytes": bytearray(flat), "w": 8, "h": 8,
+            "fmt": "ppm", "caption": "flat", "phash": 0,
+        }]), schema=_images_df(spark, n=1).schema))
+    hist = multimodal.image_gray_histogram(imgs)
+    per_img = hist.groupBy("image_id").agg(
+        F.max("n_px").alias("max_px"), F.sum("n_px").alias("total_px"))
+    r = per_img.filter(F.col("image_id") == "flat0").first()
+    assert r["max_px"] == r["total_px"] == 64

@@ -135,6 +135,37 @@ def image_patches(images: DataFrame, grid: int = 8) -> DataFrame:
     return images.select("image_id", "bytes").mapInPandas(run, PATCH_SCHEMA)
 
 
+HIST_SCHEMA = "image_id string, bin int, n_px long"
+
+
+def image_gray_histogram(images: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-image grayscale intensity histogram: decode → floor gray
+    mean to ``bins`` equal buckets (256//bins wide) → one row per
+    non-empty bin. The whole histogram of one image is a single
+    vectorized ``np.bincount`` — never a per-pixel Python loop. The
+    corpus-level rollup over these rows drives exposure QC (near-flat
+    images — one bin holding ~all pixels — are decode errors, blank
+    pages, or tracking pixels that slipped the dimension gate).
+    Arrow-batched mapInPandas over the binary column, output ≤ bins
+    rows per image."""
+    width = 256 // bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for iid, raw in zip(b["image_id"], b["bytes"]):
+                px = codecs.decode(bytes(raw)).astype(np.float64)
+                gray = np.clip(px.mean(axis=2), 0, 255).astype(np.int64)
+                counts = np.bincount(
+                    np.minimum(gray // width, bins - 1).ravel(),
+                    minlength=bins)
+                for i in np.nonzero(counts)[0]:
+                    out.append((iid, int(i), int(counts[i])))
+            yield pd.DataFrame(out, columns=["image_id", "bin", "n_px"])
+
+    return images.select("image_id", "bytes").mapInPandas(run, HIST_SCHEMA)
+
+
 TILE_PHASH_SCHEMA = "image_id string, ty int, tx int, tile_phash long"
 
 

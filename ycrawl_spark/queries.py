@@ -9048,6 +9048,185 @@ def blocklist_match_audit(spark, sf_dir):
         F.count("url_id").alias("n_matched"))
 
 
+@query("image_exposure_audit")  # decode + gray histogram (rows-only)
+def image_exposure_audit(spark, sf_dir):
+    """Exposure / flatness QC over the input_hint image table: real
+    decode → 16-bin grayscale histogram per image
+    (multimodal.image_gray_histogram, one vectorized bincount per
+    image) → per-image dominant-bin share in exact integer permille →
+    corpus rollup per bin (pixel mass, images whose dominant bin this
+    is, how many of those are NEAR-FLAT at ≥900‰ dominance — blank
+    pages and decode failures that pass the dimension gate).  Bin math
+    pinned against numpy ground truth in tests/test_multimodal.py.
+    One mapInPandas decode pass + one image-keyed rollup + one bin
+    rollup: the same shape at 10^10 images."""
+    from . import multimodal, synth
+
+    cfg = _tiny_cfg()
+    hist = multimodal.image_gray_histogram(synth.images_df(spark, cfg))
+    per_img = hist.groupBy("image_id").agg(
+        F.max("n_px").alias("max_px"),
+        F.sum("n_px").alias("total_px"),
+        F.expr("max_by(bin, struct(n_px, -bin))").alias("dominant_bin"),
+    ).withColumn(
+        "dominance_permille",
+        F.expr("1000 * max_px DIV total_px"))
+    return per_img.groupBy("dominant_bin").agg(
+        F.count("*").alias("n_images"),
+        F.sum("total_px").cast("long").alias("total_px"),
+        F.sum(F.when(F.col("dominance_permille") >= 900, 1).otherwise(0))
+        .cast("long").alias("n_near_flat"),
+    )
+
+
+@query(
+    "host_ip_rotation",
+    """
+    WITH obs AS (
+      SELECT 'h' || CAST(o_custkey % 40 AS VARCHAR) AS host,
+             o_orderdate AS day,
+             CASE WHEN o_custkey % 40 % 11 = 0
+                  THEN '10.0.' || CAST((o_custkey % 40) % 7 AS VARCHAR)
+                       || '.' || CAST(o_orderkey % 19 AS VARCHAR)
+                  ELSE '10.0.' || CAST((o_custkey % 40) % 7 AS VARCHAR)
+                       || '.' || CAST((o_custkey % 40) % 13 AS VARCHAR)
+             END AS ip
+      FROM orders
+    ), d AS (
+      SELECT host, COUNT(DISTINCT ip) AS n_ips,
+             COUNT(DISTINCT day) AS n_days,
+             COUNT(*) AS n_resolutions
+      FROM obs GROUP BY host
+    )
+    SELECT host, n_ips, n_days, n_resolutions,
+           CAST(CASE WHEN n_ips * 5 > n_days THEN 1 ELSE 0 END AS INT)
+             AS rotating
+    FROM d
+    """,
+)
+def host_ip_rotation(spark, sf_dir):
+    """Fast-flux / rotation detection over DNS resolution history — a
+    host resolving to a new IP every few fetches is a CDN (fine), a
+    bot-defence rotator (crawl slower), or fast-flux abuse
+    infrastructure (blocklist) — all three need the host flagged
+    before per-IP politeness (ip_politeness_rollup) mis-budgets it:
+    rotation spreads one host's traffic across IPs, silently
+    multiplying its effective quota.  Distinct-IP vs distinct-day
+    counts per host with an integer cross-multiplied rotation test
+    (more than one new IP per 5 days), planted rotator hosts keyed off
+    the fetch key so both classes carry mass.  ONE host rollup with
+    two distinct-aggregates (Spark expands, stays one shuffle family):
+    scan-shaped at resolution-log scale."""
+    obs = load(spark, sf_dir, "orders").select(
+        F.expr("'h' || CAST(o_custkey % 40 AS STRING)").alias("host"),
+        F.col("o_orderdate").alias("day"),
+        F.expr("CASE WHEN o_custkey % 40 % 11 = 0"
+               " THEN '10.0.' || CAST((o_custkey % 40) % 7 AS STRING)"
+               " || '.' || CAST(o_orderkey % 19 AS STRING)"
+               " ELSE '10.0.' || CAST((o_custkey % 40) % 7 AS STRING)"
+               " || '.' || CAST((o_custkey % 40) % 13 AS STRING)"
+               " END").alias("ip"),
+    )
+    d = obs.groupBy("host").agg(
+        F.countDistinct("ip").alias("n_ips"),
+        F.countDistinct("day").alias("n_days"),
+        F.count("*").alias("n_resolutions"),
+    )
+    return d.select(
+        "host", "n_ips", "n_days", "n_resolutions",
+        F.expr("CAST(CASE WHEN n_ips * 5 > n_days THEN 1 ELSE 0 END"
+               " AS INT)").alias("rotating"),
+    )
+
+
+@query(
+    "dedup_threshold_sweep",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tokens) - 3, 0) + 1),
+               i -> array_to_string(tokens[i:i+3], ' '))) AS shingles
+      FROM t
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+             COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT doc_a, doc_b,
+             (1000 * n_common) // (na + nb - n_common) AS j_permille
+      FROM pairs
+    ), th AS (SELECT unnest([500, 600, 700, 800, 900]) AS threshold)
+    SELECT threshold,
+           CAST(COUNT(CASE WHEN j_permille >= threshold THEN 1 END)
+                AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN j_permille >= threshold
+                                    THEN doc_b END) AS BIGINT)
+             AS n_docs_removed
+    FROM th LEFT JOIN scored ON j_permille >= threshold
+    GROUP BY threshold
+    """,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Dedup threshold policy sweep — before a 100-TB dedup pass
+    commits to a Jaccard cutoff, measure what each candidate threshold
+    actually removes on the real corpus: pair count and docs-removed
+    (higher-id member of each qualifying pair — the keep-first rule)
+    at 0.5/0.6/0.7/0.8/0.9, from ONE exact-Jaccard scoring of the
+    candidate pairs (integer permille: 1000·|∩| DIV |∪|).  The band
+    sweep (lsh_band_tuning_sweep) prices candidate GENERATION; this op
+    prices the VERDICT threshold — together they pin both knobs of
+    the LSH dedup stack.  Spark side scores pairs once (the
+    ngram_jaccard_pairs shape: shingle-bucket equi-join with the
+    standard df-cap) and sweeps thresholds in-row via a 5-element
+    literal explode — no re-scoring, no re-join per threshold."""
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        textops.with_tokens(docs)
+        .select("doc_id",
+                F.array_distinct(
+                    textops.shingles_col("tokens", 4)).alias("shingles"))
+        .select("doc_id", F.size("shingles").alias("n_sh"),
+                F.explode("shingles").alias("s"))
+    )
+    sh = textops.cap_hot_buckets(sh, ["s"], 10_000)
+    a, b = sh.alias("a"), sh.alias("b")
+    scored = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.first("a.n_sh").alias("na"), F.first("b.n_sh").alias("nb"),
+             F.count("*").alias("n_common"))
+        .select("doc_a", "doc_b",
+                F.expr("(1000 * n_common) DIV (na + nb - n_common)")
+                .alias("j_permille"))
+    )
+    swept = scored.select(
+        "doc_a", "doc_b", "j_permille",
+        F.explode(F.array(*[F.lit(t) for t in (500, 600, 700, 800, 900)]))
+        .alias("threshold"),
+    ).filter(F.col("j_permille") >= F.col("threshold"))
+    thresholds = spark.range(5).select(
+        (F.lit(500) + F.col("id") * 100).cast("int").alias("threshold"))
+    agg = swept.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs_raw"),
+        F.countDistinct("doc_b").alias("n_docs_raw"),
+    )
+    return thresholds.join(agg, "threshold", "left").select(
+        "threshold",
+        F.coalesce("n_pairs_raw", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_docs_raw", F.lit(0)).cast("long")
+        .alias("n_docs_removed"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
