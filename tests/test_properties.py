@@ -140,3 +140,22 @@ def test_bucket_pairs_property(spark, rows, cap):
         for a in ids for b in ids if a < b
     )
     assert got == expect  # multiset equality: sorted lists, dupes count
+
+
+def test_closed_form_ntile_matches_sql_semantics():
+    """The branch formula ngram_novelty_decile uses instead of a global
+    ntile window must reproduce SQL NTILE(10) for every corpus size:
+    the first (n mod 10) buckets get ceil(n/10) rows, the rest floor.
+    Pure arithmetic — no Spark session."""
+    def closed_form(r: int, n: int, k: int = 10) -> int:
+        q, rem = n // k, n % k
+        if r <= rem * (q + 1):
+            return (r + q) // (q + 1)
+        return rem + (r - rem * (q + 1) + max(q, 1) - 1) // max(q, 1)
+
+    for n in range(1, 301):
+        q, rem = n // 10, n % 10
+        sizes = [(q + 1 if b < rem else q) for b in range(10)]
+        expect = [b + 1 for b, s in enumerate(sizes) for _ in range(s)]
+        got = [closed_form(r, n) for r in range(1, n + 1)]
+        assert got == expect, n
