@@ -618,3 +618,24 @@ def test_image_caption_prep_no_global_window(spark):
     import re
     for m in re.finditer(r"Window \[[^\]]*row_number[^\]]*partitionBy=\[\]", plan):
         raise AssertionError("global data window found: " + m.group(0))
+
+
+def test_clip_alignment_single_scan_no_join_no_python(spark):
+    """The alignment gate is one embeddings scan + in-row HOF dot
+    products + one label rollup: no join, no Python eval, exactly one
+    aggregation exchange."""
+    plan = plan_of(spark, "clip_alignment_filter", "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_watermark_audit_partitioned_window_no_global_sort(spark):
+    """The high-water-mark window is keyed by source partition — the
+    plan must shuffle on src_partition and never contain a global
+    (empty-key) sort or window."""
+    plan = plan_of(spark, "watermark_late_drop_audit", "simple")
+    assert "hashpartitioning(src_partition" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan

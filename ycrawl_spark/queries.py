@@ -9227,6 +9227,174 @@ def dedup_threshold_sweep(spark, sf_dir):
     )
 
 
+@query(
+    "clip_alignment_filter",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS cap FROM embeddings
+    ), p AS (
+      SELECT vec_id, label, cap,
+        CASE
+          WHEN vec_id % 4 = 0 THEN list_transform(range(1, len(cap) + 1),
+               i -> CASE WHEN i % 2 = 1 THEN cap[i + 1]
+                         ELSE -cap[i - 1] END)
+          WHEN vec_id % 4 = 3 THEN list_transform(range(1, len(cap) + 1),
+               i -> 3 * cap[i] + CASE WHEN i % 2 = 1 THEN 4 * cap[i + 1]
+                                      ELSE -4 * cap[i - 1] END)
+          ELSE cap END AS img
+      FROM e
+    ), s AS (
+      SELECT label,
+             list_dot_product(cap, img)
+               / (sqrt(list_dot_product(cap, cap))
+                  * sqrt(list_dot_product(img, img))) AS cos
+      FROM p
+    )
+    SELECT label, COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN cos >= 0.28 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(ROUND(SUM(CASE WHEN cos >= 0.28 THEN cos ELSE 0 END) * 1000)
+                AS BIGINT) AS sum_cos_milli
+    FROM s GROUP BY label
+    """,
+)
+def clip_alignment_filter(spark, sf_dir):
+    """CLIP-score alignment gate — the LAION-style filter that decides
+    which crawled (image, caption) pairs enter the training set: embed
+    both sides, keep pairs whose cosine clears a threshold (LAION-400M
+    used 0.3; 0.28 here). The caption embedding is the `embeddings`
+    table; the image embedding is derived deterministically per row so
+    the gate has planted signal at every scale: vec_id%4==0 rows get
+    the exactly-orthogonal 90°-per-2-plane rotation of their caption
+    vector (cos ≈ 0 — mismatched alt-text, dropped), vec_id%4==3 rows a
+    3:4 blend of caption and rotation (cos ≈ 0.6 — loosely related,
+    kept), the rest the caption vector itself (cos = 1 — kept). All
+    classes sit orders of magnitude from the threshold and from the
+    milli rounding, so float summation-order differences between
+    engines (≤1e-13) cannot flip a row. Plan: one scan, in-row
+    zip_with/aggregate dot products (JVM higher-order functions, no
+    UDF, no join), one label rollup — embarrassingly parallel at 10^10
+    pairs; the real-model embedding step would slot in as one
+    Arrow-batched pandas UDF producing the same two columns."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("cap"))
+    p = e.withColumn("img", F.expr(
+        "CASE WHEN vec_id % 4 = 0 THEN "
+        "transform(sequence(1, size(cap)), i -> CASE WHEN i % 2 = 1 "
+        "THEN element_at(cap, i + 1) ELSE -element_at(cap, i - 1) END) "
+        "WHEN vec_id % 4 = 3 THEN "
+        "transform(sequence(1, size(cap)), i -> 3 * element_at(cap, i) + "
+        "CASE WHEN i % 2 = 1 THEN 4 * element_at(cap, i + 1) "
+        "ELSE -4 * element_at(cap, i - 1) END) "
+        "ELSE cap END"))
+    dot = ("aggregate(zip_with({0}, {1}, (x, y) -> x * y), 0D, "
+           "(a, v) -> a + v)")
+    s = p.select(
+        "label",
+        (F.expr(dot.format("cap", "img"))
+         / (F.sqrt(F.expr(dot.format("cap", "cap")))
+            * F.sqrt(F.expr(dot.format("img", "img"))))).alias("cos"))
+    return s.groupBy("label").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("cos") >= 0.28, 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.round(F.sum(F.when(F.col("cos") >= 0.28, F.col("cos"))
+                      .otherwise(0.0)) * 1000).cast("long")
+        .alias("sum_cos_milli"),
+    )
+
+
+@query(
+    "watermark_late_drop_audit",
+    """
+    WITH a AS (
+      SELECT CAST(user_id % 8 AS BIGINT) AS src_partition,
+             event_id,
+             epoch_us(ts) - (event_id % 13) * 1800000000 AS t_us
+      FROM events
+    ), m AS (
+      SELECT src_partition, t_us,
+             MAX(t_us) OVER (PARTITION BY src_partition ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS hwm_us
+      FROM a
+    )
+    SELECT src_partition, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN t_us < hwm_us - 1800000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           COALESCE(MAX(CASE WHEN t_us < hwm_us - 1800000000
+                             THEN hwm_us - 1800000000 - t_us END), 0)
+             AS max_lag_us,
+           MAX(t_us) - 1800000000 AS final_watermark_us
+    FROM m GROUP BY src_partition
+    """,
+)
+def watermark_late_drop_audit(spark, sf_dir):
+    """Watermark late-data accounting — the batch audit of exactly the
+    rule Structured Streaming's `withWatermark` applies: per source
+    partition (Kafka-style, user_id % 8 — watermarks advance per
+    ingest partition, the global one is their min), the high-water
+    mark is the running max event-time over ARRIVAL order (event_id =
+    ingest offset), and an event is LATE-DROPPED if its event-time
+    sits more than the 30-min delay below the mark already reached
+    when it arrived. Event-times are deterministically jittered
+    (event_id % 13 half-hours) so out-of-order arrivals exist at every
+    SF. Everything is integer microseconds (unix_micros/epoch_us
+    parity — no timestamp rounding), the window is partitioned by
+    source partition with a ROWS frame (never a global sort), and the
+    rollup reports per-partition drop counts, the worst lag, and the
+    final watermark — the numbers that size a production delay before
+    turning the real `withWatermark` on. At 10^10 events this is one
+    partition-local window pass over the ingest log."""
+    a = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).cast("long").alias("src_partition"),
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - (F.col("event_id") % 13) * 1800000000).alias("t_us"))
+    w = (W.partitionBy("src_partition").orderBy("event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    m = a.withColumn("hwm_us", F.max("t_us").over(w))
+    late = F.col("t_us") < F.col("hwm_us") - 1800000000
+    return m.groupBy("src_partition").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
+        F.coalesce(
+            F.max(F.when(late, F.col("hwm_us") - 1800000000 - F.col("t_us"))),
+            F.lit(0)).alias("max_lag_us"),
+        (F.max("t_us") - 1800000000).alias("final_watermark_us"),
+    )
+
+
+@query("image_blur_audit")  # decode + Laplacian focus measure (rows-only)
+def image_blur_audit(spark, sf_dir):
+    """Blur/defocus QC over the input_hint image table: real decode →
+    variance-of-Laplacian per image (multimodal.image_sharpness, whole-
+    image numpy slice arithmetic) → threshold gate at lap_var < 5000
+    (measured corpus gap: sharp ≥ 31k, 3×3-box-blurred ≤ 0.8k across
+    all codecs incl. lossy) → per-format rollup of flagged mass and
+    flag-vs-planted agreement (the fixture plants a blurred copy every
+    third row; `n_flag_match` == `n_images` is the exactness invariant
+    tests/test_multimodal.py pins, here it rides along as audit
+    output). One mapInPandas decode pass + one rollup — the same shape
+    at 10^10 images."""
+    from . import multimodal, synth
+
+    cfg = _tiny_cfg()
+    imgs = synth.blurred_images_df(spark, cfg)
+    sharp = multimodal.image_sharpness(imgs).withColumn(
+        "flagged", F.when(F.col("lap_var") < 5000.0, 1).otherwise(0))
+    j = imgs.select("image_id", "fmt", "is_blurred").join(
+        sharp.select("image_id", "flagged"), "image_id")
+    return j.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum("flagged").cast("long").alias("n_flagged"),
+        F.sum("is_blurred").cast("long").alias("n_planted"),
+        F.sum(F.when(F.col("flagged") == F.col("is_blurred"), 1)
+              .otherwise(0)).cast("long").alias("n_flag_match"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #

@@ -265,6 +265,56 @@ def bordered_images_df(spark, cfg: CrawlConfig):
     )
 
 
+BLURRED_IMAGES_SCHEMA = IMAGES_SCHEMA + ", is_blurred int"
+
+
+def make_blurred_image_row(i: int) -> dict:
+    """Image row ``i``; every third row (i % 3 == 0) is DEFOCUSED: the
+    base pixels passed through a 3×3 box blur (edge-replicate padding,
+    rounded back to uint8) before encoding. The synthetic base pixels
+    are photographic-noise-like, so the blur collapses the Laplacian
+    response by ~50× (measured: sharp lap_var ≥ 31k, blurred ≤ 0.8k
+    across all codecs incl. lossy) — ``is_blurred`` is the ground truth
+    the blur-audit test pins recall/precision against."""
+    image_id = image_id_for(i)
+    w, h = codecs.gen_dims(image_id)
+    px = codecs.gen_pixels(image_id, w, h)
+    blurred = i % 3 == 0
+    if blurred:
+        p = np.pad(px.astype(np.float64), ((1, 1), (1, 1), (0, 0)),
+                   mode="edge")
+        acc = sum(p[1 + dy:p.shape[0] - 1 + dy, 1 + dx:p.shape[1] - 1 + dx]
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+        px = np.clip(np.round(acc / 9.0), 0, 255).astype(np.uint8)
+    fmt = codecs.gen_fmt(image_id)
+    data = codecs.encode(px, fmt)
+    return {
+        "image_id": image_id,
+        "bytes": data,
+        "w": w,
+        "h": h,
+        "fmt": fmt,
+        "caption": codecs.gen_caption(image_id),
+        "phash": codecs.phash64(codecs.decode(data)),
+        "is_blurred": int(blurred),
+    }
+
+
+def blurred_images_df(spark, cfg: CrawlConfig):
+    """Image table with planted 3×3-box-blurred rows (distributed build;
+    ``images_df`` shape plus the ``is_blurred`` ground-truth column)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame([make_blurred_image_row(int(i)) for i in b["id"]])
+
+    n_parts = max(8, cfg.n_urls // 10_000)
+    return (
+        spark.range(0, cfg.n_urls, numPartitions=n_parts)
+        .mapInPandas(gen, schema=BLURRED_IMAGES_SCHEMA)
+    )
+
+
 def robots_txt_for(host: str, cfg: CrawlConfig) -> str:
     """Deterministic per-host robots.txt exercising the grammar the
     parser covers: a decoy group for another crawler (must NOT apply),
