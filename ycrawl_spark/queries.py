@@ -5820,9 +5820,11 @@ def recrawl_priority(spark, sf_dir):
 @query(
     "phash_hamming_hist",
     """
-    WITH bits AS (SELECT vec_id, i,
+    WITH samp AS (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 2048),
+    bits AS (SELECT vec_id, i,
                          CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END AS b
-                  FROM embeddings, unnest(generate_series(1, 16)) AS g(i)),
+                  FROM samp, unnest(generate_series(1, 16)) AS g(i)),
     ph AS (SELECT vec_id,
                   CAST(SUM(b * (CAST(1 AS BIGINT) << (i - 1))) AS BIGINT) AS ph
            FROM bits GROUP BY vec_id),
@@ -5843,17 +5845,27 @@ def phash_hamming_hist(spark, sf_dir):
     candidate set — the calibration curve behind image_phash_near_dups'
     threshold: before committing to 'hamming ≤ T means duplicate', a
     production image-dedup pipeline plots the candidate-pair distance
-    distribution and looks for the bimodal valley. Hashes are 16 sign
-    bits of the embedding head (deterministic — a float's SIGN survives
-    any precision path identically in both engines); candidates pair
-    within 4-bit pigeonhole blocks (any pair with hamming ≤ 3 shares a
-    block — the same guaranteed-recall geometry as the simhash family),
-    generated via textops.bucket_pairs (one sketch scan, window-capped,
-    in-row expansion — never a self-join) and deduped across blocks.
-    bit_count(xor) is JVM-side / DuckDB-native. The histogram output is
-    O(17) rows regardless of corpus size. Oracle: explicit block
-    self-join + the same popcount."""
-    emb = load(spark, sf_dir, "embeddings")
+    distribution and looks for the bimodal valley — and it plots it on
+    a SAMPLE, because a 16-bit hash space has only 64 pigeonhole
+    buckets: pairing the full corpus is Θ(n²/16) by construction, no
+    cap can save it (past any cap EVERY bucket is hot and the
+    histogram goes empty). The calibration corpus here is a fixed
+    2048-row deterministic sample — distributed top-k by md5(vec_id)
+    (TakeOrderedAndProject, never a global sort), identical in both
+    engines — so candidate-pair mass is O(2048²/16) INDEPENDENT of
+    corpus size; at sf0.01+ the sample genuinely bites and the gate
+    value-checks the sampling path. Hashes are 16 sign bits of the
+    embedding head (a float's SIGN survives any precision path
+    identically in both engines); candidates pair within 4-bit
+    pigeonhole blocks (any pair with hamming ≤ 3 shares a block — the
+    same guaranteed-recall geometry as the simhash family), generated
+    via textops.bucket_pairs (one sketch scan, in-row expansion —
+    never a self-join) and deduped across blocks. bit_count(xor) is
+    JVM-side / DuckDB-native. The histogram output is O(17) rows.
+    Oracle: same md5-ordered LIMIT + explicit block self-join + the
+    same popcount."""
+    emb = (load(spark, sf_dir, "embeddings")
+           .orderBy(F.md5(F.col("vec_id").cast("string"))).limit(2048))
     ph = emb.select(
         "vec_id",
         F.expr(
@@ -9392,6 +9404,127 @@ def image_blur_audit(spark, sf_dir):
         F.sum("is_blurred").cast("long").alias("n_planted"),
         F.sum(F.when(F.col("flagged") == F.col("is_blurred"), 1)
               .otherwise(0)).cast("long").alias("n_flag_match"),
+    )
+
+
+@query(
+    "split_leakage_audit",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), g AS (
+      SELECT fp, COUNT(*) AS n_docs,
+             array_to_string(list_sort(list_distinct(list(split))), '|')
+               AS splits_key
+      FROM d GROUP BY fp HAVING COUNT(*) >= 2
+    )
+    SELECT splits_key, COUNT(*) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM g GROUP BY splits_key
+    """,
+)
+def split_leakage_audit(spark, sf_dir):
+    """Train/test leakage THROUGH duplicate groups — the audit that
+    explains why dedup must run before (or jointly with) split
+    assignment: a duplicate pair straddling train and test inflates
+    eval exactly like contamination, even when both corpora were
+    individually deduped. Groups documents by the exact-dedup
+    fingerprint (md5 of the 5-token normalized prefix — the same key
+    `exact_dedup_prefix` and `mirror_host_detection` use, so the
+    planted duplicate mass makes the audit non-vacuous), assigns the
+    md5-coin split of `dataset_split_assign`, and rolls multi-doc
+    groups up by the SET of splits they span (sorted '|'-join —
+    deterministic key): every key containing '|' is leaked eval
+    signal, sized in groups and documents. One fingerprint shuffle +
+    one tiny rollup; no pair enumeration at all (the group's split
+    set is a collect_set, capped by the number of splits, not group
+    size) — linear at 10^10 documents. Complements
+    `decontaminate_train_split` (removes known eval overlap) by
+    QUANTIFYING the self-inflicted overlap a split scheme creates."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(F.split("text", " "), 1, 5), " "))
+        .alias("fp"),
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+               < "cc", "train")
+        .when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+              < "e6", "val")
+        .otherwise("test").alias("split"),
+    )
+    g = (
+        d.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"),
+             F.array_join(F.sort_array(F.collect_set("split")), "|")
+             .alias("splits_key"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return g.groupBy("splits_key").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+@query(
+    "vocab_coverage_curve",
+    """
+    WITH c AS (
+      SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ), tot AS (SELECT SUM(n) AS total FROM c),
+    r AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, tok ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM (SELECT * FROM c ORDER BY n DESC, tok ASC LIMIT 64)
+    )
+    SELECT r.rnk AS rank_k,
+           CAST((1000 * r.cum) // tot.total AS BIGINT)
+             AS covered_permille
+    FROM r, tot WHERE r.rnk IN (5, 10, 20, 30)
+    """,
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Zipf coverage curve — the statistic that sizes a tokenizer
+    vocabulary: what share of all token OCCURRENCES do the top-K
+    types cover, at a ladder of K checkpoints (5/10/20/30 here,
+    matched to the synthetic corpus's 31-type vocabulary; a real
+    corpus uses 10³..10⁶ the same way). Token counts are one
+    map-side-combined groupBy; the top-64 types come back via
+    TakeOrdered (never a global sort of the vocabulary), and the
+    cumulative sum + rank run on that BOUNDED 64-row table (the
+    same post-aggregation small-table window discipline as
+    `budget_apportionment`) against a broadcast 1-row total. Exact
+    integer permille. At 100 TB the vocabulary table is the only
+    large intermediate and it stays distributed; only the top-K
+    ladder is ever ordered."""
+    c = (load(spark, sf_dir, "documents")
+         .select(F.explode(F.split("text", " ")).alias("tok"))
+         .groupBy("tok").agg(F.count("*").alias("n")))
+    tot = c.agg(F.sum("n").alias("total"))
+    top = c.orderBy(F.desc("n"), F.asc("tok")).limit(64)
+    wr = W.orderBy(F.desc("n"), F.asc("tok"))
+    r = top.select(
+        "n",
+        F.row_number().over(wr).alias("rank_k"),
+        F.sum("n").over(wr.rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"))
+    return (
+        r.filter(F.col("rank_k").isin(5, 10, 20, 30))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank_k",
+            F.expr("(1000 * cum) DIV total").cast("long")
+            .alias("covered_permille"),
+        )
     )
 
 
