@@ -3058,10 +3058,12 @@ def measure_correlation(spark, sf_dir):
       SELECT doc_id,
              array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
              array_to_string(string_split(text, ' ')[1:8], ' ') AS head
-      FROM documents)
+      FROM documents),
+    sized AS (SELECT blk FROM k GROUP BY blk HAVING COUNT(*) <= 256),
+    kc AS (SELECT k.* FROM k JOIN sized USING (blk))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.head, b.head) AS dist
-    FROM k a JOIN k b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    FROM kc a JOIN kc b ON a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= 12
     """,
 )
@@ -3069,9 +3071,12 @@ def levenshtein_candidates(spark, sf_dir):
     """Fuzzy entity resolution: near-identical document heads by edit
     distance within a blocking key (first-2-token prefix) — the
     blocked-pairs pattern every record-linkage pipeline uses. The
-    block join keeps it far from all-pairs (same df-cap hook as the
-    shingle joins would apply at corpus scale); ``levenshtein`` is
-    exact and identical across engines."""
+    blocking key carries the same df-cap as every other pair
+    generator (cap 256 via `cap_hot_buckets`, window count BEFORE the
+    join, oracle encodes the identical HAVING bound): a stop-phrase
+    block at corpus scale would otherwise emit m²/2 join rows from a
+    single bucket. ``levenshtein`` is exact and identical across
+    engines."""
     docs = load(spark, sf_dir, "documents")
     t = textops.with_tokens(docs)
     k = t.select(
@@ -3079,6 +3084,7 @@ def levenshtein_candidates(spark, sf_dir):
         F.array_join(F.slice("tokens", 1, 2), " ").alias("blk"),
         F.array_join(F.slice("tokens", 1, 8), " ").alias("head"),
     )
+    k = textops.cap_hot_buckets(k, ["blk"], 256)
     a, b = k.alias("a"), k.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
     return (
