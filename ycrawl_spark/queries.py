@@ -5039,8 +5039,11 @@ def inverted_postings_topk(spark, sf_dir):
                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                          ORDER BY d2 ASC, cid ASC) AS rk FROM d)
              WHERE rk = 1),
+    sized AS (SELECT cell_id FROM cell GROUP BY cell_id
+              HAVING COUNT(*) <= 4096),
     xa AS (SELECT cl.cell_id, x.vec_id, x.dim, x.v6
-           FROM x JOIN cell cl ON x.vec_id = cl.vec_id),
+           FROM x JOIN cell cl ON x.vec_id = cl.vec_id
+           JOIN sized s ON cl.cell_id = s.cell_id),
     pr AS (SELECT a.cell_id, a.vec_id AS va, b.vec_id AS vb,
                   SUM(a.v6 * b.v6) AS dot6,
                   SUM(a.v6 * a.v6) AS na, SUM(b.v6 * b.v6) AS nb
@@ -5104,10 +5107,19 @@ def semantic_dedup_cells(spark, sf_dir):
         .filter("rk = 1")
         .select("vec_id", F.col("cid").alias("cell_id"))
     )
+    # the pairing side carries the standard cell-size cap (whole-cell
+    # drop at 4096 members, window count over the 1-row-per-vec cell
+    # frame): SemDeDup's |cell| bound is a design TARGET, not an
+    # invariant — a template-farm corpus collapses into one cell and
+    # the within-cell quadratic sees the corpus square. Output rows
+    # are NOT dropped (an over-cap cell's vectors all stay, kept=1 —
+    # pairing is skipped, like every capped LSH bucket); oracle
+    # encodes the identical HAVING bound.
+    paired_cells = textops.cap_hot_buckets(cell, ["cell_id"], 4096)
     # assigned component rows, reused by both pair sides — checkpoint so
     # the quantize+route subtree is computed once, not once per alias
     xa = (
-        x.join(cell, "vec_id")
+        x.join(paired_cells, "vec_id")
         .select("cell_id", "vec_id", "dim", "v6")
         .localCheckpoint(eager=False)
     )
