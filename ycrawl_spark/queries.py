@@ -9546,6 +9546,237 @@ def vocab_coverage_curve(spark, sf_dir):
     )
 
 
+@query(
+    "priority_aging_promotion",
+    """
+    WITH f AS (
+      SELECT 'h' || CAST(o_custkey % 24 AS VARCHAR) AS host,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS base_class,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-02')
+               AS wait_days
+      FROM orders WHERE o_orderstatus <> 'F'
+    ), e AS (
+      SELECT host, base_class, wait_days,
+             greatest(1, base_class - wait_days // 600) AS eff_class
+      FROM f
+    )
+    SELECT host,
+           COUNT(*) AS n_pending,
+           CAST(SUM(CASE WHEN eff_class < base_class THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_promoted,
+           CAST(SUM(CASE WHEN eff_class = 1 AND base_class <> 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_aged_to_top,
+           CAST(MAX(wait_days) AS BIGINT) AS max_wait_days
+    FROM e GROUP BY host
+    """,
+)
+def priority_aging_promotion(spark, sf_dir):
+    """Priority aging — the classic scheduler device that keeps a
+    strict-priority frontier from starving its long tail (reference
+    analog: the fixed-priority dispatch order the engine's rank
+    reproduces; aging is what a perpetual crawl adds so a 5-LOW URL
+    behind an always-refilling 1-URGENT stream is eventually fetched).
+    Every 600 days of queue wait promotes a URL one class (floor at
+    class 1); the audit reports, per host, how many pending URLs the
+    aging rule has promoted, how many aged all the way to the top
+    class, and the oldest wait — the dashboard that tells an operator
+    whether starvation pressure is building faster than aging relieves
+    it. Exact integer arithmetic (datediff DIV 600, greatest) agrees
+    bit-for-bit across engines; one host-keyed rollup over a pruned
+    3-column scan — scan-shaped at any frontier scale."""
+    o = load(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") != "F").select(
+        F.expr("'h' || CAST(o_custkey % 24 AS STRING)").alias("host"),
+        F.expr("CAST(substring(o_orderpriority, 1, 1) AS INT)")
+        .alias("base_class"),
+        F.datediff(F.lit("2001-08-02").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("wait_days"),
+    )
+    e = f.withColumn(
+        "eff_class", F.expr("greatest(1, base_class - wait_days DIV 600)"))
+    return e.groupBy("host").agg(
+        F.count("*").alias("n_pending"),
+        F.sum(F.when(F.col("eff_class") < F.col("base_class"), 1)
+              .otherwise(0)).cast("long").alias("n_promoted"),
+        F.sum(F.when((F.col("eff_class") == 1)
+                     & (F.col("base_class") != 1), 1)
+              .otherwise(0)).cast("long").alias("n_aged_to_top"),
+        F.max("wait_days").cast("long").alias("max_wait_days"),
+    )
+
+
+@query(
+    "caption_collision_audit",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             lower(array_to_string(string_split(text, ' ')[1:6], ' '))
+               AS caption,
+             md5(text) AS fp
+      FROM documents
+    )
+    SELECT caption,
+           COUNT(*) AS n_images,
+           COUNT(DISTINCT fp) AS n_distinct_payloads,
+           CASE WHEN COUNT(DISTINCT fp) > 1 THEN 'farm' ELSE 'dup' END
+             AS reuse_class
+    FROM c GROUP BY caption HAVING COUNT(*) > 1
+    """,
+)
+def caption_collision_audit(spark, sf_dir):
+    """Caption-collision audit over the image+caption shape: the SAME
+    caption attached to DIFFERENT payloads is the stock-photo /
+    template-farm signature (a caption shared by thousands of distinct
+    images carries near-zero supervision per pair and LAION-style
+    curation drops or downweights it); same caption + same payload
+    hash is plain exact duplication, a different remedy (keep one).
+    Caption key = lowercased 6-token head, payload fingerprint =
+    full-content md5 — so the query splits every reused caption into
+    'farm' (≥2 distinct payloads) vs 'dup'. One caption-keyed
+    count-distinct rollup: unlike the pair generators there is NO
+    quadratic to cap — a degenerate hot caption ('' or a boilerplate
+    phrase shared by 10^7 images) still costs one combiner row per
+    partition, which is exactly why curation pipelines gate on this
+    rollup BEFORE any caption-keyed join."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.select(
+        F.lower(F.array_join(F.slice(F.split("text", " "), 1, 6), " "))
+        .alias("caption"),
+        F.md5("text").alias("fp"),
+    )
+    return (
+        c.groupBy("caption")
+        .agg(F.count("*").alias("n_images"),
+             F.countDistinct("fp").alias("n_distinct_payloads"))
+        .filter(F.col("n_images") > 1)
+        .select(
+            "caption", "n_images", "n_distinct_payloads",
+            F.when(F.col("n_distinct_payloads") > 1, "farm")
+            .otherwise("dup").alias("reuse_class"),
+        )
+    )
+
+
+@query(
+    "depth_yield_curve",
+    """
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 6 AS INT) AS depth,
+             md5(lower(array_to_string(string_split(text, ' ')[1:8], ' ')))
+               AS fp
+      FROM documents
+    ), r AS (
+      SELECT depth, fp,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY depth, doc_id)
+               AS rk
+      FROM d
+    ), per AS (
+      SELECT depth, COUNT(*) AS n_fetched,
+             CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM r GROUP BY depth
+    )
+    SELECT depth, n_fetched, n_novel,
+           CAST(1000 * n_novel // n_fetched AS BIGINT) AS yield_permille,
+           CAST(SUM(n_novel) OVER (ORDER BY depth) AS BIGINT) AS cum_novel
+    FROM per
+    """,
+)
+def depth_yield_curve(spark, sf_dir):
+    """Novelty yield by crawl depth — the measurement behind the
+    engine's ``discovery_max_depth`` knob (config.py): at each BFS
+    depth, what fraction of fetched pages contributed content not
+    already seen at a shallower depth (or earlier at the same depth)?
+    Link-discovered frontiers show diminishing returns with depth —
+    mirrors and boilerplate dominate the deep tail — and THIS curve is
+    how the cutoff is chosen rather than guessed. Depth is the
+    deterministic pseudo-BFS label doc_id % 6; novelty = being the
+    first occurrence of the content fingerprint (8-token-head md5 —
+    the synthetic corpus plants head collisions) ordered by (depth,
+    doc_id), i.e. crawl order. Plan: one fingerprint-keyed window for
+    first-occurrence, one depth rollup; the cumulative window runs
+    over the DEPTH table only (max_depth rows — driver-trivial at any
+    corpus scale, never over fetch rows)."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 6).cast("int").alias("depth"),
+        F.md5(F.lower(F.array_join(F.slice(F.split("text", " "), 1, 8), " ")))
+        .alias("fp"),
+    )
+    r = d.withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("fp").orderBy("depth", "doc_id")))
+    per = r.groupBy("depth").agg(
+        F.count("*").alias("n_fetched"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_novel"),
+    )
+    return per.select(
+        "depth", "n_fetched", "n_novel",
+        F.expr("CAST(1000 * n_novel DIV n_fetched AS BIGINT)")
+        .alias("yield_permille"),
+        F.sum("n_novel").over(W.orderBy("depth")).cast("long")
+        .alias("cum_novel"),
+    )
+
+
+@query(
+    "connection_churn_audit",
+    """
+    WITH f AS (
+      SELECT CAST(user_id % 8 AS INT) AS worker,
+             'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+             ts, event_id
+      FROM events
+    ), runs AS (
+      SELECT worker, host,
+             CASE WHEN host IS DISTINCT FROM
+                       LAG(host) OVER (PARTITION BY worker
+                                       ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS new_conn
+      FROM f
+    )
+    SELECT host,
+           COUNT(*) AS n_fetches,
+           CAST(SUM(new_conn) AS BIGINT) AS n_connections,
+           CAST(1000 * SUM(new_conn) // COUNT(*) AS BIGINT)
+             AS churn_permille
+    FROM runs GROUP BY host
+    """,
+)
+def connection_churn_audit(spark, sf_dir):
+    """Connection churn — the hidden cost of politeness interleaving:
+    a scheduler that round-robins hosts aggressively destroys HTTP
+    keep-alive (every host switch on a worker is a new TCP+TLS
+    handshake), while batching same-host fetches back-to-back reuses
+    the connection but risks hammering. Per worker, dispatch order is
+    replayed (ts, event_id) and every host CHANGE starts a connection;
+    the per-host rollup of connections vs fetches (churn permille:
+    1000 = a fresh connection per fetch, low = healthy reuse) is the
+    number that justifies the scheduler's same-host run batching. All
+    windows partition by WORKER — dispatch order is only meaningful
+    per connection owner, so no global ordering exists in the plan and
+    the op scales with workers like the fetch loop itself."""
+    f = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 8).cast("int").alias("worker"),
+        F.expr("'h' || CAST(user_id % 40 AS STRING)").alias("host"),
+        "ts", "event_id",
+    )
+    w = W.partitionBy("worker").orderBy("ts", "event_id")
+    runs = f.select(
+        "host",
+        F.when(~F.col("host").eqNullSafe(F.lag("host").over(w)), 1)
+        .otherwise(0).alias("new_conn"),
+    )
+    return runs.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum("new_conn").cast("long").alias("n_connections"),
+        F.expr("CAST(1000 * SUM(new_conn) DIV COUNT(*) AS BIGINT)")
+        .alias("churn_permille"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
