@@ -211,3 +211,73 @@ def test_cdc_chunks_partition_and_resync(spark):
            and h1[-1 - shared] == h2[-1 - shared]):
         shared += 1
     assert shared >= len(h1) - 3  # all but the first few chunks survive
+
+
+def test_semantic_dedup_hot_cell_cap_skips_pairing_keeps_rows(spark, tmp_path):
+    """The SemDeDup cell cap (queries.semantic_dedup_cells): a planted
+    cell over the 4096-member cap is excluded from PAIRING only — all
+    its vectors stay in the output with kept=1 — while an in-cap exact
+    duplicate still drops, proving the cap skipped one cell's pairing,
+    not the gate. Construction is deterministic against the query's
+    own md5-min-32 centroid sampling: the test replicates the md5
+    ordering (hashlib hex == Spark md5(CAST(id AS STRING))), assigns
+    the 32 sampled ids SPREAD vectors (one-hot-ish, mutually far), and
+    then routes (a) one extra vector X = an exact copy of centroid c0
+    → c0's 2-member in-cap cell, the planted drop, and (b) 4207
+    constant-0.5 clones → centroid c1 (deliberately the constant-0.45
+    vector, by far the nearest to the clones) → ONE 4208-member
+    over-cap cell. Without the cap that cell alone would emit ~8.8M
+    exact-dup pairs and drop 4206 rows; with it, zero pairs and zero
+    drops. All ids ≥ 30 so the query plants no perturbed copies."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ycrawl_spark.queries import QUERIES
+
+    ids = list(range(30, 30 + 4240))
+    order = sorted(ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    cents, extra = order[:32], order[32]
+    c0, c1 = cents[0], cents[1]
+
+    def vec(i):
+        if i == c1:
+            return [0.45] * 16            # nearest centroid to the clones
+        if i in cents:
+            k = cents.index(i)            # spread one-hot-ish centroids
+            base = 0.0 if k < 16 else 0.05
+            return [1.0 if d == k % 16 else base for d in range(16)]
+        if i == extra:
+            return vec(c0)                # exact dup of centroid c0
+        return [0.5] * 16                 # clone horde
+
+    pdf = pd.DataFrame({
+        "vec_id": ids,
+        "embedding": [vec(i) for i in ids],
+        "label": [0] * len(ids),
+    })
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(pdf).selectExpr(
+        "CAST(vec_id AS BIGINT) AS vec_id",
+        "CAST(embedding AS ARRAY<FLOAT>) AS embedding",
+        "CAST(label AS INT) AS label",
+    ).coalesce(2).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    rows = QUERIES["semantic_dedup_cells"](spark, sf_dir).collect()
+    by_vec = {r["vec_id"]: r for r in rows}
+    assert len(rows) == len(ids)          # every vector present exactly once
+
+    clones = [i for i in ids if i not in cents and i != extra]
+    assert len(clones) == 4207            # over the 4096 cap
+    clone_cells = {by_vec[i]["cell_id"] for i in clones}
+    assert clone_cells == {c1}            # one over-cap cell, as planted
+    # cap behavior: pairing skipped, every member kept (incl. c1 itself)
+    assert all(by_vec[i]["kept"] == 1 for i in clones)
+    assert by_vec[c1]["kept"] == 1
+    # the gate still fires in the in-cap 2-member cell {c0, extra}:
+    # cos = 1, the larger vec_id drops, the smaller survives
+    assert by_vec[extra]["cell_id"] == c0
+    dropped = sorted(r["vec_id"] for r in rows if r["kept"] == 0)
+    assert dropped == [max(c0, extra)]
+    assert by_vec[min(c0, extra)]["kept"] == 1
