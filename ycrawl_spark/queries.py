@@ -9777,6 +9777,121 @@ def connection_churn_audit(spark, sf_dir):
     )
 
 
+@query(
+    "traffic_trend_ols",
+    """
+    WITH d AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             COUNT(*) AS y
+      FROM events GROUP BY 1
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(sy AS BIGINT) AS total_fetches,
+           CAST(1000000 * (n * sxy - sx * sy)
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm,
+           CAST(1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                AS BIGINT) AS r2_permille
+    FROM s
+    """,
+)
+def traffic_trend_ols(spark, sf_dir):
+    """Crawl-volume trend fit — exact integer least squares over the
+    per-day fetch counts: slope in fetches-per-day millionths
+    (slope_ppm) and fit quality in permille (r2_permille), both from
+    the closed-form OLS sums via cross-multiplied integer division —
+    float arithmetic never happens, so both engines agree bit-for-bit
+    (truncating integer division matches between Spark DIV and DuckDB
+    // including negative slopes, verified). The capacity-planning
+    primitive: is fetch volume growing, how fast, and is the linear
+    model even credible (low R² = re-plan, don't extrapolate). Plan:
+    one day rollup over the log, then a SINGLE-ROW sum over ≤365 day
+    rows — the regression itself never touches fetch rows and the
+    BIGINT bound holds to ~10^10 fetches/day."""
+    d = load(spark, sf_dir, "events").groupBy(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).alias("x")
+    ).agg(F.count("*").alias("y"))
+    s = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("total_fetches"),
+        F.expr("CAST(1000000 * (n * sxy - sx * sy)"
+               " DIV (n * sxx - sx * sx) AS BIGINT)").alias("slope_ppm"),
+        F.expr("CAST(1000 * (n * sxy - sx * sy) * (n * sxy - sx * sy)"
+               " DIV ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+               " AS BIGINT)").alias("r2_permille"),
+    )
+
+
+@query(
+    "bucket_count_sweep",
+    f"""
+    WITH vol AS (
+      SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+             COUNT(*) AS x
+      FROM events GROUP BY 1
+    ), b AS (
+      SELECT host, x, n_buckets,
+             ({_md5_hex48('host')}) % n_buckets AS shard
+      FROM vol, unnest([4, 8, 16, 32]) AS t(n_buckets)
+    ), per AS (
+      SELECT n_buckets, shard, SUM(x) AS shard_rows
+      FROM b GROUP BY 1, 2
+    )
+    SELECT n_buckets,
+           CAST(MAX(shard_rows) AS BIGINT) AS max_shard_rows,
+           CAST(SUM(shard_rows) AS BIGINT) AS total_rows,
+           COUNT(DISTINCT shard) AS n_used_shards,
+           CAST(1000 * MAX(shard_rows) * n_buckets // SUM(shard_rows)
+                AS BIGINT) AS imbalance_permille
+    FROM per GROUP BY n_buckets
+    """,
+)
+def bucket_count_sweep(spark, sf_dir):
+    """Bucket-count sizing sweep for the frontier's hidden partition
+    spec — the north-star layout buckets the Iceberg frontier by
+    canonicalized-host hash, and THIS measurement picks N: for each
+    candidate bucket(N), the max-shard load vs perfect balance
+    (imbalance permille: 1000 = uniform; 4000 at N=4 = one shard
+    carries everything) and how many shards are even used. Shard
+    assignment is the md5-derived 48-bit uniform (`_md5_hex48`, the
+    KMV/IVF arithmetic) mod N so both engines place every host
+    identically. Plan: ONE host rollup over the log (the only shuffle
+    that sees fetch rows), then the whole sweep — explode × 4, hash,
+    two tiny rollups — runs on the |hosts| aggregate; the same
+    one-scan sweep shape as lsh_band_tuning_sweep."""
+    vol = load(spark, sf_dir, "events").select(
+        F.expr("'h' || CAST(user_id % 40 AS STRING)").alias("host")
+    ).groupBy("host").agg(F.count("*").alias("x"))
+    b = vol.select(
+        "host", "x",
+        F.explode(F.array(*[F.lit(n) for n in (4, 8, 16, 32)]))
+        .alias("n_buckets"),
+    ).withColumn(
+        "shard", F.expr(f"({_md5_hex48('host')}) % n_buckets"))
+    per = b.groupBy("n_buckets", "shard").agg(F.sum("x").alias("shard_rows"))
+    return per.groupBy("n_buckets").agg(
+        F.max("shard_rows").cast("long").alias("max_shard_rows"),
+        F.sum("shard_rows").cast("long").alias("total_rows"),
+        F.countDistinct("shard").alias("n_used_shards"),
+        F.expr("CAST(1000 * MAX(shard_rows) * FIRST(n_buckets)"
+               " DIV SUM(shard_rows) AS BIGINT)")
+        .alias("imbalance_permille"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
