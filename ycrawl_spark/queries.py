@@ -9892,6 +9892,122 @@ def bucket_count_sweep(spark, sf_dir):
     )
 
 
+@query(
+    "importance_ess_audit",
+    """
+    WITH w AS (SELECT n_chars AS wt FROM documents WHERE n_chars > 0)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(wt) AS BIGINT) AS sum_w,
+           CAST(MAX(wt) AS BIGINT) AS max_w,
+           CAST(1000 * SUM(wt) * SUM(wt)
+                // (COUNT(*) * SUM(wt * wt)) AS BIGINT) AS ess_permille,
+           CAST(1000 * MAX(wt) // SUM(wt) AS BIGINT)
+             AS top1_share_permille
+    FROM w
+    """,
+)
+def importance_ess_audit(spark, sf_dir):
+    """Effective-sample-size audit for weighted sampling — before a
+    pipeline samples documents proportional to a weight (length-aware
+    packing, DSIR-style importance weights), Kish's ESS = (Σw)²/Σw²
+    says how many EFFECTIVE documents the weighted draw represents:
+    ess_permille = 1000·ESS/n (1000 = uniform weights, →0 = the
+    weights collapsed onto a few documents and the 'sample' is really
+    those documents over and over). Reported next to the top-1 weight
+    share — the single-doc concentration the ESS summarizes. Weight =
+    n_chars (the length-proportional sampling case); exact integer
+    cross-multiplied arithmetic, one single-row aggregate over a
+    pruned 1-column scan (BIGINT-safe to ~10^9 docs of 10^5 chars —
+    past that the same sums ride decimal(38))."""
+    w = load(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0).select(F.col("n_chars").alias("wt"))
+    return w.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("wt").cast("long").alias("sum_w"),
+        F.max("wt").cast("long").alias("max_w"),
+        F.expr("CAST(1000 * SUM(wt) * SUM(wt)"
+               " DIV (COUNT(*) * SUM(wt * wt)) AS BIGINT)")
+        .alias("ess_permille"),
+        F.expr("CAST(1000 * MAX(wt) DIV SUM(wt) AS BIGINT)")
+        .alias("top1_share_permille"),
+    )
+
+
+@query(
+    "canary_failure_diff",
+    """
+    WITH t AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'control' ELSE 'canary' END
+               AS arm,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS fail
+      FROM orders
+    ), s AS (
+      SELECT SUM(CASE WHEN arm = 'control' THEN fail ELSE 0 END) AS a_fail,
+             SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS a_n,
+             SUM(CASE WHEN arm = 'canary' THEN fail ELSE 0 END) AS b_fail,
+             SUM(CASE WHEN arm = 'canary' THEN 1 ELSE 0 END) AS b_n
+      FROM t
+    )
+    SELECT CAST(a_fail AS BIGINT) AS control_fail,
+           CAST(a_n AS BIGINT) AS control_n,
+           CAST(b_fail AS BIGINT) AS canary_fail,
+           CAST(b_n AS BIGINT) AS canary_n,
+           CAST(1000 * a_fail // a_n AS BIGINT) AS control_permille,
+           CAST(1000 * b_fail // b_n AS BIGINT) AS canary_permille,
+           CAST((1000 * (b_fail * a_n - a_fail * b_n))
+                // (a_n * b_n) AS BIGINT) AS diff_permille,
+           CAST(CASE WHEN abs(1000 * (b_fail * a_n - a_fail * b_n))
+                          >= 20 * a_n * b_n
+                     THEN 1 ELSE 0 END AS INT) AS rollback_flag
+    FROM s
+    """,
+)
+def canary_failure_diff(spark, sf_dir):
+    """Canary rollout gate for a parser/fetcher change: split traffic
+    into control/canary arms (deterministic key parity), compare
+    failure rates, and flag rollback when the canary's failure rate
+    exceeds control by ≥20 permille — the deployment guard a crawler
+    fleet runs before promoting a new parser build fleet-wide. The
+    rate DIFFERENCE is computed as one cross-multiplied integer
+    rational (1000·(b_fail·a_n − a_fail·b_n) DIV (a_n·b_n)) so the
+    gate decision is bit-identical across engines and replicas —
+    truncating division matches between Spark DIV and DuckDB //
+    including the negative (canary-better) side. One conditional
+    single-row aggregate over a pruned 2-column scan; arms never
+    shuffle apart."""
+    t = load(spark, sf_dir, "orders").select(
+        F.expr("CASE WHEN o_orderkey % 2 = 0 THEN 'control'"
+               " ELSE 'canary' END").alias("arm"),
+        F.expr("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")
+        .alias("fail"),
+    )
+    s = t.agg(
+        F.sum(F.when(F.col("arm") == "control", F.col("fail"))
+              .otherwise(0)).alias("a_fail"),
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0))
+        .alias("a_n"),
+        F.sum(F.when(F.col("arm") == "canary", F.col("fail"))
+              .otherwise(0)).alias("b_fail"),
+        F.sum(F.when(F.col("arm") == "canary", 1).otherwise(0))
+        .alias("b_n"),
+    )
+    return s.select(
+        F.col("a_fail").cast("long").alias("control_fail"),
+        F.col("a_n").cast("long").alias("control_n"),
+        F.col("b_fail").cast("long").alias("canary_fail"),
+        F.col("b_n").cast("long").alias("canary_n"),
+        F.expr("CAST(1000 * a_fail DIV a_n AS BIGINT)")
+        .alias("control_permille"),
+        F.expr("CAST(1000 * b_fail DIV b_n AS BIGINT)")
+        .alias("canary_permille"),
+        F.expr("CAST((1000 * (b_fail * a_n - a_fail * b_n))"
+               " DIV (a_n * b_n) AS BIGINT)").alias("diff_permille"),
+        F.expr("CAST(CASE WHEN abs(1000 * (b_fail * a_n - a_fail * b_n))"
+               " >= 20 * a_n * b_n THEN 1 ELSE 0 END AS INT)")
+        .alias("rollback_flag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
