@@ -46,7 +46,25 @@ def test_q1_filter_pushdown_and_column_pruning(spark):
 def test_fx_enrich_uses_broadcast_join(spark):
     plan = plan_of(spark, "fx_enrich_orders")
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+
+
+def test_fx_enrich_no_forced_broadcast_on_customer(spark):
+    """The explicit broadcast() hint must target only the bounded dim
+    (nation/fx), never customer — customer scales with the corpus, and
+    a forced hint overrides AQE's size check at 100x (VERDICT r04 #2).
+    With autoBroadcastJoinThreshold=-1 only HINTED builds broadcast:
+    exactly one BroadcastHashJoin (nation) may remain; the customer
+    join must fall back to a shuffle join."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for q in ("fx_enrich_orders", "monitor_segment_join"):
+            plan = plan_of(spark, q, "simple")  # one line per node
+            assert plan.count("BroadcastHashJoin") <= 1, q
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, q
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_geo_status_double_broadcast(spark):
@@ -483,11 +501,28 @@ def test_url_canonicalize_join_free_single_scan(spark):
 def test_redirect_resolve_no_nested_loop(spark):
     """Pointer doubling is a chain of equi-joins (hash-joinable);
     a nested-loop or cartesian anywhere means the ptr equality was
-    lost. The terminal-flag rejoin must broadcast (tiny dim)."""
+    lost."""
     plan = plan_of(spark, "redirect_chain_resolve")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+
+
+def test_redirect_resolve_no_forced_corpus_broadcast(spark):
+    """VERDICT r04 #1: the final terminal-flag rejoin used to carry an
+    explicit F.broadcast() on `flags` — one row per document, so at
+    10^10 URLs the hint demands a ~100 GB broadcast build (driver OOM,
+    not a slow plan). With autoBroadcastJoinThreshold=-1 only HINTED
+    builds can broadcast, so ZERO BroadcastHashJoin proves no forced
+    broadcast survives anywhere in the query."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "redirect_chain_resolve")
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_rank_unsalted_is_single_shuffle(spark):

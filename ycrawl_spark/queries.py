@@ -152,7 +152,7 @@ def fx_enrich_orders(spark, sf_dir):
     )
     eur = F.round(F.col("o_totalprice") / F.col("rate")).cast("bigint")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("o_orderkey", eur.alias("eur"))
         .filter(F.col("eur") > 10)
@@ -1204,7 +1204,7 @@ def monitor_segment_join(spark, sf_dir):
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     ok = F.col("o_orderstatus") == "F"
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -6121,7 +6121,7 @@ def redirect_chain_resolve(spark, sf_dir):
         )
     flags = base.select(F.col("src").alias("_t"), F.col("is_r").alias("_tr"))
     return (
-        state.join(F.broadcast(flags), state["ptr"] == flags["_t"])
+        state.join(flags, state["ptr"] == flags["_t"])
         .select(
             "src",
             F.when(~F.col("_tr"), F.col("ptr")).cast("long").alias("final"),
@@ -7862,7 +7862,7 @@ def content_length_mismatch(spark, sf_dir):
     )
     SELECT COUNT(*) AS n_hosts,
            CAST(SUM(x) AS BIGINT) AS total_fetches,
-           CAST(MAX(x) * 1000 / SUM(x) AS BIGINT) AS hot_share_permille,
+           CAST((1000 * MAX(x)) // SUM(x) AS BIGINT) AS hot_share_permille,
            CAST((1000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
                 // (COUNT(*) * SUM(x)) AS BIGINT) AS gini_permille
     FROM r
@@ -7891,7 +7891,7 @@ def host_fairness_gini(spark, sf_dir):
     return r.agg(
         F.count("*").alias("n_hosts"),
         F.sum("x").cast("long").alias("total_fetches"),
-        (F.max("x") * 1000 / F.sum("x")).cast("long")
+        F.expr("CAST((1000 * MAX(x)) DIV SUM(x) AS BIGINT)")
         .alias("hot_share_permille"),
         F.expr("CAST((1000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))"
                " DIV (COUNT(*) * SUM(x)) AS BIGINT)")
@@ -8069,7 +8069,7 @@ def soft404_detection(spark, sf_dir):
     "stream_sessionize",
     """
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
                        > 1800000000 THEN 1 ELSE 0 END AS brk
@@ -8077,7 +8077,7 @@ def soft404_detection(spark, sf_dir):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )
@@ -9180,8 +9180,11 @@ def host_ip_rotation(spark, sf_dir):
                range(1, greatest(len(tokens) - 3, 0) + 1),
                i -> array_to_string(tokens[i:i+3], ' '))) AS shingles
       FROM t
-    ), ex AS (
+    ), ex0 AS (
       SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), ex AS (
+      SELECT * FROM ex0
+      WHERE s IN (SELECT s FROM ex0 GROUP BY s HAVING COUNT(*) <= 10000)
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
