@@ -10027,59 +10027,67 @@ def canary_failure_diff(spark, sf_dir):
 # invariants (exactly 50 names, all registered, all oracle-backed).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: list[str] = [
-    # r04 rotation (VERDICT r03 item #1): the 13 oracle-backed late-r03 adds
-    # that were never driver-gated take the slots of 13 stably-green r03 rows.
-    "key_skew_profile",
-    "snapshot_diff",
-    "pair_degree_profile",
-    "dedup_cluster_size_hist",
-    "quality_gate_funnel",
-    "aspect_bucket_assign",
-    "contrastive_negatives",
-    "corpus_drift_tvd",
-    "cube_order_counts",
-    "incremental_components",
-    "jsonl_source_roundtrip",
-    "normalized_dedup_groups",
-    "export_shard_assignment",
-    "merge_upsert_reconcile",    # r04: catalog row-level MERGE (VERDICT r03 #5)
-    "url_canonicalize_dedup",    # r04: crawl-core URL normalizer dedup
-    "stream_seen_first_event",   # r04: reformulated splittable-safe — re-gate
-    "duplicate_span_stats",      # r04: inter-doc repeated-span audit
-    "oov_rate_by_source",        # r04: tokenizer-coverage audit
-    "delta_agg_maintenance",     # r04: incremental aggregate maintenance
-    "kmv_distinct_sketch",       # r04: oracle-exact cardinality sketch
-    "gcra_rate_limit_admission", # r04: exact token-bucket politeness
-    "dedup_graph_triangles",     # r04: cluster-density triangle counts
-    "quality_weighted_dedup",    # r04: keep-best dedup
-    "ann_recall_audit",          # r04: value-gated recall@10 audit
-    "bloom_fp_calibration",      # r04: north_rule seen-set FP calibration
-    "schema_evolution_read",     # r04: catalog add-column contract
-    "fuzzy_incremental_dedup",   # r04: cross-corpus banded-LSH gate
-    "merge_on_read_resolve",     # r04: MOR upserts (write-optimized path)
-    "link_katz_priority",        # r04: integer Katz frontier priority
-    "containment_dedup_pairs",   # r04: asymmetric subset dedup (Jaccard blind spot)
-    "frontier_bfs_depth",        # r04: BFS crawl-depth labeling
-    "inverted_postings_topk",    # r04: capped impact-ordered postings
-    "redirect_chain_resolve",    # r04: pointer-doubling 301-chain resolution
-    "semantic_dedup_cells",      # r04: SemDeDup cell-bucketed dedup
-    "boilerplate_span_removal",  # r04: ExactSubstr rewrite accounting
-    "decontaminate_train_split",  # r04: eval-overlap removal step
-    "cms_heavy_hitters",            # r04: count-min sketch audit
-    "winnowing_fingerprints",       # r04: MOSS fingerprint selection
-    "recrawl_priority",             # r04: freshness recrawl scheduling
-    "pagerank_host_priority",       # r04: integer PageRank frontier authority
-    "dispatch_budget_utilization",  # r04: politeness-budget audit
-    "anchor_text_topk",             # r04: inbound anchor aggregation
-    "dsir_importance_weights",      # r04: DSIR data-selection scores
-    "phash_hamming_hist",           # r04: phash threshold calibration
-    "hits_hub_authority",           # r04: integer HITS hubs/authorities
-    "crossmodal_dup_audit",      # r03→r04: LINEARIZED co-cluster audit — re-gate
-    "pq_md5_ann_topk",           # r04: value-gated PQ/ADC ANN (VERDICT r03 #4)
-    "image_caption_prep",        # r04 late: flagship image+caption prep chain
-    "stream_sessionize",         # r04 late: value-gated streaming session windows
-    "surt_domain_rollup",        # r04: reverse-domain storage keying
+    # r05 rotation (VERDICT r04 item #1): every r01-r04 green row cedes its
+    # slot.  Lead: levenshtein_candidates re-gate (its blocking-key cap
+    # landed in r04 AFTER the r03 gate, so the gated implementation is
+    # stale).  The other 49 slots take never-driver-gated oracle-backed
+    # queries; the 4 left out (retry_backoff_schedule,
+    # content_length_mismatch, run_length_degeneracy, host_ip_rotation)
+    # are single-rollup scan-shaped ops fully covered by the local
+    # 228/228 sweep — excluded in favor of the multi-stage plans where
+    # hard third-party signal matters most.
+    "levenshtein_candidates",    # re-gate: cap added post-r03-gate
+    "host_fairness_gini",        # integer-DIV fix this round (ADVICE r04)
+    "dedup_threshold_sweep",     # oracle cap mirror this round (ADVICE r04)
+    "priority_aging_promotion",
+    "caption_collision_audit",
+    "depth_yield_curve",
+    "connection_churn_audit",
+    "traffic_trend_ols",
+    "bucket_count_sweep",
+    "importance_ess_audit",
+    "canary_failure_diff",
+    "lsh_band_tuning_sweep",
+    "sitemap_crawl_coverage",
+    "soft404_detection",
+    "change_rate_ema_recrawl",
+    "ngram_novelty_decile",
+    "sitemap_url_extract",
+    "html_field_extraction",
+    "url_template_mining",
+    "lsh_transitivity_audit",
+    "int8_quantization_audit",
+    "conditional_get_recrawl",
+    "mirror_host_detection",
+    "lm_rarity_score",
+    "crawl_trap_score",
+    "ip_politeness_rollup",
+    "hreflang_variant_cluster",
+    "registrable_domain_rollup",
+    "caption_filter_funnel",
+    "mojibake_audit",
+    "robots_diff_audit",
+    "subword_fertility_by_lang",
+    "warc_chunk_index",
+    "crawl_delay_compliance",
+    "rendezvous_shard_rebalance",
+    "canonical_link_conflict",
+    "image_dimension_audit",
+    "markup_depth_audit",
+    "image_metadata_privacy_audit",
+    "frontier_score_quota",
+    "budget_apportionment",
+    "stream_sliding_rate_monitor",
+    "lang_rebalance_plan",
+    "token_budget_truncation",
+    "politeness_adaptation_step",
+    "blocklist_match_audit",
+    "clip_alignment_filter",
+    "watermark_late_drop_audit",
+    "split_leakage_audit",
+    "vocab_coverage_curve",
 ]
+
 
 
 def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
