@@ -409,3 +409,76 @@ def test_compact_aborts_when_base_snapshot_vanishes(spark, tmp_path):
     live = {p for s in t.snapshots() for p in s.files}
     on_disk = set(glob.glob(os.path.join(str(tmp_path), "state", "data", "*")))
     assert on_disk == live
+
+
+def test_expire_snapshots_rolls_off_keep_last(spark, tmp_path):
+    """Retention roll-off: keep_last bounds the manifest, expired data
+    dirs are deleted from disk, latest_epoch (resume numbering) is
+    preserved, and time travel to an expired id fails explicitly."""
+    import os
+
+    t = Catalog(str(tmp_path)).table("fetch_log")
+    ids = [t.append(spark.createDataFrame([(e,)], "id int"), epoch=e)
+           for e in range(1, 7)]
+    expired_dirs = [p for s in t.snapshots()[:3] for p in s.files]
+
+    gone = t.expire_snapshots(keep_last=3)
+
+    assert gone == ids[:3]
+    assert [s.snapshot_id for s in t.snapshots()] == ids[3:]
+    assert t.latest_epoch() == 6  # resume-safety: numbering unchanged
+    assert {r["id"] for r in t.read(spark).collect()} == {4, 5, 6}
+    assert not any(os.path.exists(d) for d in expired_dirs)
+    # the kept window still time-travels
+    assert {r["id"] for r in t.read(spark, as_of=ids[4]).collect()} == {4, 5}
+    try:
+        t.read(spark, as_of=ids[0])
+        raise AssertionError("expired snapshot must be unreachable")
+    except ValueError:
+        pass
+
+
+def test_expire_snapshots_older_than_epoch_conjunction(spark, tmp_path):
+    """older_than_epoch ANDs with keep_last (Iceberg retain-last +
+    older-than): a snapshot past keep_last but at/above the epoch bound
+    survives, and the newest snapshot is never expired even under
+    absurd knobs."""
+    t = Catalog(str(tmp_path)).table("log")
+    ids = [t.append(spark.createDataFrame([(e,)], "id int"), epoch=e)
+           for e in range(1, 6)]
+
+    gone = t.expire_snapshots(keep_last=1, older_than_epoch=3)
+    assert gone == ids[:2]  # epochs 1,2: beyond keep_last AND too old
+    assert [s.epoch for s in t.snapshots()] == [3, 4, 5]
+
+    # keep_last floors at 1: the newest snapshot always survives
+    gone = t.expire_snapshots(keep_last=0, older_than_epoch=99)
+    assert [s.epoch for s in t.snapshots()] == [5]
+    assert t.latest_epoch() == 5
+    assert sorted(gone) == sorted(
+        [s for s in ids[2:4]])
+
+
+def test_remove_orphan_files_sweeps_uncommitted_dirs(spark, tmp_path):
+    """A writer that died after writing data but before the manifest
+    commit leaves an orphan dir; the sweep deletes it, never touches
+    live dirs, and the min-age guard protects an in-flight writer's
+    fresh dir."""
+    import os
+
+    t = Catalog(str(tmp_path)).table("payloads")
+    t.append(spark.createDataFrame([(1,)], "id int"), epoch=1)
+    orphan = os.path.join(t.path, "data", "deadbeefdeadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+        f.write(b"\x00")
+
+    # fresh orphan: protected by the age guard (in-flight writer race)
+    assert t.remove_orphan_files(min_age_seconds=3600) == []
+    assert os.path.exists(orphan)
+
+    swept = t.remove_orphan_files(min_age_seconds=0.0)
+    assert swept == [os.path.abspath(orphan)]
+    assert not os.path.exists(orphan)
+    assert len(t.snapshots()) == 1  # manifest untouched
+    assert [r["id"] for r in t.read(spark).collect()] == [1]

@@ -520,8 +520,12 @@ class Table:
         silently DROPS the new column."""
         snaps = self.snapshots()
         if as_of is not None:
-            cut = next(i for i, s in enumerate(snaps) if s.snapshot_id == as_of)
-            snaps = snaps[: cut + 1]
+            hits = [i for i, s in enumerate(snaps) if s.snapshot_id == as_of]
+            if not hits:
+                raise ValueError(
+                    f"snapshot {as_of!r} not in manifest of {self.name!r} "
+                    "(never committed, rolled back, or expired)")
+            snaps = snaps[: hits[0] + 1]
         specless = [s for s in snaps if not s.meta.get("spec")]
         specful = [s for s in snaps if s.meta.get("spec")]
         if not specless and not specful:
@@ -551,6 +555,93 @@ class Table:
         the block manager."""
         snap = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)
         return spark.read.parquet(*snap.files)
+
+    def expire_snapshots(self, *, keep_last: int | None = None,
+                         older_than_epoch: int | None = None) -> list[str]:
+        """Retention roll-off (Iceberg ``expire_snapshots`` analog; the
+        reference keeps a ~3-month live table and rolls older crawls
+        into history, /root/reference/README.md:108-115): drop
+        snapshots past the retention bound from the manifest and delete
+        their data dirs. A snapshot expires when it is BOTH beyond the
+        ``keep_last`` newest (by commit order) AND, if given, has
+        ``epoch < older_than_epoch`` — the conjunction mirrors
+        Iceberg's retain-last + older-than pair, so neither knob alone
+        can empty a table.
+
+        Resume-safety invariants (pinned in tests/test_catalog.py):
+        the newest snapshot is never expired regardless of knobs, so
+        ``latest_epoch`` — which the crawl resume numbering derives
+        from — is preserved; expiry commits the shrunken manifest
+        atomically under the lock BEFORE deleting files, so concurrent
+        readers see old-manifest-or-new, never missing files. Time
+        travel to an expired id fails explicitly afterwards.
+
+        Over a 10^3-epoch crawl this is what bounds manifest size and
+        file count alongside ``compact`` — compaction collapses live
+        snapshots, expiration retires dead ones. Returns expired ids.
+        """
+        import shutil
+
+        with self._manifest_lock():
+            snaps = self.snapshots()
+            keep_n = len(snaps) if keep_last is None else max(1, keep_last)
+            expired, kept = [], []
+            for i, s in enumerate(snaps):
+                from_newest = len(snaps) - i  # 1 = newest
+                old_enough = (older_than_epoch is None
+                              or s.epoch is None
+                              or s.epoch < older_than_epoch)
+                if from_newest > keep_n and old_enough:
+                    expired.append(s)
+                else:
+                    kept.append(s)
+            if not expired:
+                return []
+            self._commit([
+                Snapshot(snapshot_id=s.snapshot_id, sequence=i,
+                         epoch=s.epoch, files=s.files, meta=s.meta)
+                for i, s in enumerate(kept)
+            ])
+        for s in expired:  # after the commit: readers never race a delete
+            for d in s.files:
+                shutil.rmtree(d, ignore_errors=True)
+        return [s.snapshot_id for s in expired]
+
+    def remove_orphan_files(self, *, min_age_seconds: float = 3600.0) -> list[str]:
+        """Delete data dirs under the table path that NO manifest
+        snapshot references (Iceberg ``remove_orphan_files``). Orphans
+        are real in this design: ``append``/``compact``/``merge_upsert``
+        all write data BEFORE taking the commit lock, so a writer that
+        dies mid-flight leaves a fully-written dir with no manifest
+        entry, and a CAS-aborted compact/merge can leak one if its
+        cleanup is interrupted.
+
+        The in-flight-writer race is handled the same way Iceberg
+        handles it: only dirs older than ``min_age_seconds`` (mtime)
+        are eligible, so a concurrent writer's fresh uncommitted dir is
+        never swept; the reference set is read under the manifest lock
+        so a commit cannot land between listing and deletion. Returns
+        the deleted dir paths."""
+        import shutil
+        import time
+
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return []
+        now = time.time()
+        with self._manifest_lock():
+            live = {os.path.abspath(p)
+                    for s in self.snapshots() for p in s.files}
+            doomed = []
+            for entry in sorted(os.listdir(data_root)):
+                d = os.path.abspath(os.path.join(data_root, entry))
+                if d in live or not os.path.isdir(d):
+                    continue
+                if now - os.path.getmtime(d) >= min_age_seconds:
+                    doomed.append(d)
+            for d in doomed:  # inside the lock: a racing commit cannot
+                shutil.rmtree(d, ignore_errors=True)  # adopt a doomed dir
+        return doomed
 
     def latest_epoch(self) -> int | None:
         epochs = [s.epoch for s in self.snapshots() if s.epoch is not None]

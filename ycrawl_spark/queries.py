@@ -10011,6 +10011,96 @@ def canary_failure_diff(spark, sf_dir):
     )
 
 
+@query(
+    "snapshot_retention_audit",
+    """
+    WITH log AS (
+      SELECT 't' || CAST(o_custkey % 6 AS VARCHAR) AS table_id,
+             o_orderdate AS committed_day,
+             CAST(1 + o_orderkey % 13 AS BIGINT) AS n_files,
+             CAST(1000 + o_orderkey % 97531 AS BIGINT) AS bytes,
+             o_orderkey
+      FROM orders WHERE o_orderkey % 37 = 0
+    ), seqd AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY table_id
+                                ORDER BY o_orderkey) AS epoch,
+             ROW_NUMBER() OVER (PARTITION BY table_id
+                                ORDER BY o_orderkey DESC) AS from_newest,
+             MAX(committed_day) OVER (PARTITION BY table_id) AS head_day
+      FROM log
+    ), marked AS (
+      SELECT *,
+             CASE WHEN from_newest > 5
+                    AND committed_day < head_day - INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END AS expired
+      FROM seqd
+    )
+    SELECT table_id,
+           CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+           CAST(MAX(epoch) AS BIGINT) AS latest_epoch,
+           CAST(SUM(expired) AS BIGINT) AS n_expired,
+           CAST(SUM(CASE WHEN expired = 1 THEN n_files ELSE 0 END)
+                AS BIGINT) AS files_reclaimed,
+           CAST(SUM(CASE WHEN expired = 1 THEN bytes ELSE 0 END)
+                AS BIGINT) AS bytes_reclaimed,
+           CAST(MIN(CASE WHEN expired = 0 THEN epoch END) AS BIGINT)
+             AS min_kept_epoch
+    FROM marked GROUP BY table_id
+    """,
+)
+def snapshot_retention_audit(spark, sf_dir):
+    """Retention-policy dry run for ``Table.expire_snapshots`` — the
+    audit an operator reads BEFORE rolling off crawl history (the
+    reference keeps a ~3-month live table and archives the rest,
+    reference README.md:108-115): per table, how many snapshots the
+    keep-last-5 AND older-than-90-days conjunction would expire, the
+    file count and byte mass reclaimed, and two invariants the roll-off
+    must preserve — ``latest_epoch`` (resume numbering) and the
+    earliest epoch still readable after expiry.  The snapshot log is
+    synthesized deterministically from orders (epoch = commit order per
+    table; the 90-day horizon measured against each table's own head
+    commit).  Plan: one pruned scan, two windows over the SAME
+    per-table partitioning (one exchange), final rollup — at a real
+    deployment's scale the log is one row per commit, bounded by epoch
+    count not corpus size, so this audit is driver-trivial."""
+    log = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 37 == 0
+    ).select(
+        F.concat(F.lit("t"), (F.col("o_custkey") % 6).cast("string"))
+        .alias("table_id"),
+        F.col("o_orderdate").alias("committed_day"),
+        (1 + F.col("o_orderkey") % 13).cast("long").alias("n_files"),
+        (1000 + F.col("o_orderkey") % 97531).cast("long").alias("bytes"),
+        "o_orderkey",
+    )
+    wt = W.partitionBy("table_id")
+    seqd = log.select(
+        "*",
+        F.row_number().over(wt.orderBy("o_orderkey")).alias("epoch"),
+        F.row_number().over(wt.orderBy(F.desc("o_orderkey")))
+        .alias("from_newest"),
+        F.max("committed_day").over(wt).alias("head_day"),
+    )
+    marked = seqd.withColumn(
+        "expired",
+        F.when((F.col("from_newest") > 5)
+               & (F.col("committed_day")
+                  < F.date_sub(F.col("head_day"), 90)), 1).otherwise(0),
+    )
+    return marked.groupBy("table_id").agg(
+        F.count("*").cast("long").alias("n_snapshots"),
+        F.max("epoch").cast("long").alias("latest_epoch"),
+        F.sum("expired").cast("long").alias("n_expired"),
+        F.sum(F.when(F.col("expired") == 1, F.col("n_files")).otherwise(0))
+        .cast("long").alias("files_reclaimed"),
+        F.sum(F.when(F.col("expired") == 1, F.col("bytes")).otherwise(0))
+        .cast("long").alias("bytes_reclaimed"),
+        F.min(F.when(F.col("expired") == 0, F.col("epoch")))
+        .cast("long").alias("min_kept_epoch"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
