@@ -10101,6 +10101,203 @@ def snapshot_retention_audit(spark, sf_dir):
     )
 
 
+_GRAD_PARAMS_SQL = """
+      SELECT image_id,
+             24 + (ascii(substr(hh,1,1))*256 + ascii(substr(hh,2,1))) % 41 AS w,
+             24 + (ascii(substr(hh,3,1))*256 + ascii(substr(hh,4,1))) % 37 AS h,
+             3 + ascii(substr(hh,5,1)) % 5 AS a,
+             7 + ascii(substr(hh,6,1)) % 5 AS b,
+             (ascii(substr(hh,1,1)) + 13*ascii(substr(hh,5,1))) % 256 AS c,
+             ascii(substr(hh,7,1)) % 7 AS ty,
+             ascii(substr(hh,8,1)) % 7 AS tx
+"""
+
+
+@query(
+    "image_patch_grid_audit",
+    f"""
+    WITH ids AS (
+      SELECT 'grad-' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+             md5('grad-' || lpad(CAST(i AS VARCHAR), 4, '0')) AS hh
+      FROM range(48) t(i)
+    ), par AS ({_GRAD_PARAMS_SQL} FROM ids),
+    grid AS (SELECT *, h // 8 AS ph, w // 8 AS pw FROM par),
+    ys AS (
+      SELECT image_id, a, b, c, ph, pw, unnest(range(ph * 8)) AS y FROM grid
+    ), pxl AS (
+      SELECT image_id, ph, pw, y, (a * x + b * y + c) % 256 AS v,
+             x
+      FROM (SELECT *, unnest(range(pw * 8)) AS x FROM ys)
+    )
+    SELECT image_id,
+           CAST(y // ph AS INT) AS py, CAST(x // pw AS INT) AS px,
+           CAST(ph AS INT) AS patch_h, CAST(pw AS INT) AS patch_w,
+           CAST(SUM(v) AS BIGINT) AS gray_sum,
+           CAST((1000 * SUM(v)) // (ph * pw) AS BIGINT) AS mean_permille,
+           CAST((SUM(v) // (ph * pw)) // 16 AS INT) AS code
+    FROM pxl GROUP BY image_id, py, px, patch_h, patch_w, ph, pw
+    """,
+)
+def image_patch_grid_audit(spark, sf_dir):
+    """The ViT patchify path VALUE-GATED (VERDICT r04 #8): 48 analytic-
+    ramp images (pixels ``(a·x + b·y + c) mod 256``, parameters folded
+    from md5 so SQL can re-derive them — synth._gradient_params) are
+    ENCODED through the real lossless codecs, decoded and patchified by
+    the production ``multimodal.image_patches`` Arrow stage, and every
+    per-patch statistic is checked against DuckDB's closed-form pixel
+    regeneration: exact integer gray sum per 8×8-grid patch, mean in
+    cross-multiplied integer permille, and the 4-bit intensity code.
+    The float mean the stage emits is rounded to 4dp, but patch areas
+    are ≤ 169 px so ``round(mean·area)`` recovers the exact integer sum
+    (error bound 169·5e-5 ≪ 0.5) — the audit is bit-exact without
+    comparing floats. This closes the oracle gap on the decode →
+    patchify plumbing that previously only numpy pytest pins covered;
+    corpus-scale behavior is unchanged (one mapInPandas scan,
+    grid²-fold row fanout)."""
+    from . import multimodal, synth
+
+    patches = multimodal.image_patches(synth.gradient_images_df(spark, 48))
+    with_sum = patches.withColumn(
+        "gray_sum",
+        F.round(F.col("mean") * F.col("patch_h") * F.col("patch_w"))
+        .cast("long"),
+    )
+    return with_sum.select(
+        "image_id", "py", "px", "patch_h", "patch_w", "gray_sum",
+        F.expr("CAST((1000 * gray_sum) DIV (patch_h * patch_w) AS BIGINT)")
+        .alias("mean_permille"),
+        "code",
+    )
+
+
+@query(
+    "image_border_geometry_audit",
+    f"""
+    WITH ids AS (
+      SELECT 'bord-' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+             md5('bord-' || lpad(CAST(i AS VARCHAR), 4, '0')) AS hh
+      FROM range(64) t(i)
+    ), par AS ({_GRAD_PARAMS_SQL} FROM ids)
+    SELECT image_id,
+           CAST(w + 2*tx AS INT) AS w, CAST(h + 2*ty AS INT) AS h,
+           CAST(ty AS INT) AS y0, CAST(ty + h AS INT) AS y1,
+           CAST(tx AS INT) AS x0, CAST(tx + w AS INT) AS x1,
+           CAST((1000 * ((w + 2*tx) * (h + 2*ty) - w * h))
+                // ((w + 2*tx) * (h + 2*ty)) AS INT) AS border_permille
+    FROM par
+    """,
+)
+def image_border_geometry_audit(spark, sf_dir):
+    """The letterbox/pillarbox detector VALUE-GATED (VERDICT r04 #8):
+    64 analytic-ramp images wrapped in md5-derived constant-black pads
+    (0-6 px per axis — synth.bordered_gradient_images_df) run through
+    the production decode → uniform-run detection
+    (``multimodal.image_border_crop``), and the full recovered geometry
+    — frame dims, content box [y0,y1)×[x0,x1), border mass in integer
+    permille — is checked against DuckDB's closed-form pad arithmetic.
+    The ramp interior makes false-uniform content rows impossible
+    (a ≥ 3, b ≥ 7), so detection must recover the planted pads EXACTLY;
+    ~1/7 of images carry no pad on an axis, keeping the no-border
+    branch populated. Replaces the pytest-only xxh64 fixture as the
+    hard signal for this op; one Arrow scan, scan-shaped at any
+    corpus size."""
+    from . import multimodal, synth
+
+    boxes = multimodal.image_border_crop(
+        synth.bordered_gradient_images_df(spark, 64))
+    return boxes.select("image_id", "w", "h", "y0", "y1", "x0", "x1",
+                        "border_permille")
+
+
+@query(
+    "image_exposure_grid_audit",
+    f"""
+    WITH ids AS (
+      SELECT 'grad-' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+             md5('grad-' || lpad(CAST(i AS VARCHAR), 4, '0')) AS hh
+      FROM range(48) t(i)
+    ), par AS ({_GRAD_PARAMS_SQL} FROM ids),
+    ys AS (SELECT image_id, w, a, b, c, unnest(range(h)) AS y FROM par),
+    pxl AS (
+      SELECT image_id, (a * x + b * y + c) % 256 AS v
+      FROM (SELECT *, unnest(range(w)) AS x FROM ys)
+    )
+    SELECT image_id, CAST(v // 16 AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM pxl GROUP BY image_id, bin
+    """,
+)
+def image_exposure_grid_audit(spark, sf_dir):
+    """The exposure-QC histogram VALUE-GATED: the production decode →
+    ``np.bincount`` gray-histogram stage (multimodal.
+    image_gray_histogram — the rows-only ``image_exposure_audit``'s
+    engine) runs over the 48 md5-parameterized ramp images, and every
+    (image, 16-level bin, pixel count) row is checked against DuckDB's
+    closed-form pixel regeneration. Channels are equal on the ramp, so
+    the decoder's grayscale mean is the analytic ``(a·x+b·y+c) mod
+    256`` exactly and the comparison is integer-bit-exact. One Arrow
+    scan, ≤ 16 output rows per image at any corpus size."""
+    from . import multimodal, synth
+
+    hist = multimodal.image_gray_histogram(
+        synth.gradient_images_df(spark, 48))
+    return hist.select("image_id", "bin", F.col("n_px").cast("long"))
+
+
+@query(
+    "phash_ramp_audit",
+    f"""
+    WITH ids AS (
+      SELECT 'grad-' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+             md5('grad-' || lpad(CAST(i AS VARCHAR), 4, '0')) AS hh
+      FROM range(48) t(i)
+    ), par AS ({_GRAD_PARAMS_SQL} FROM ids),
+    grid AS (SELECT *, h // 8 AS bh, w // 8 AS bw FROM par),
+    ys AS (
+      SELECT image_id, a, b, c, bh, bw, unnest(range(bh * 8)) AS y FROM grid
+    ), pxl AS (
+      SELECT image_id, bh, bw, y, x, (a * x + b * y + c) % 256 AS v
+      FROM (SELECT *, unnest(range(bw * 8)) AS x FROM ys)
+    ), blocks AS (
+      SELECT image_id, y // bh AS by, x // bw AS bx,
+             3 * SUM(v) AS s
+      FROM pxl GROUP BY image_id, by, bx
+    ), tot AS (
+      SELECT image_id, by, bx, s,
+             SUM(s) OVER (PARTITION BY image_id) AS total
+      FROM blocks
+    )
+    SELECT image_id,
+           CAST(SUM(CASE WHEN 64 * s > total THEN
+                      CASE WHEN by * 8 + bx = 63
+                           THEN -9223372036854775808
+                           ELSE (CAST(1 AS BIGINT) << (by * 8 + bx)) END
+                    ELSE 0 END) AS BIGINT) AS phash
+    FROM tot GROUP BY image_id
+    """,
+)
+def phash_ramp_audit(spark, sf_dir):
+    """The 64-bit perceptual hash VALUE-GATED bit for bit — phash is
+    the crawl's core image invariant (every dedup/near-dup/caption-
+    collision op keys on it), so its exact bit pattern deserves hard
+    oracle signal, not just round-trip pytest pins. The production
+    decode → ``codecs.phash64`` path (via multimodal.image_tile_phash
+    at grid=1 — one tile = the whole image) runs over the 48 ramp
+    images; DuckDB regenerates the pixels, forms the 8×8 integer block
+    sums over all three channels, applies the threshold as the
+    cross-multiplied integer test ``64·s > Σs`` (identical ordering to
+    ``block_mean > mean(block_means)``, no float mean), and assembles
+    the signed int64 from the raveled row-major bits — bit 63
+    contributing −2⁶³ exactly as numpy's signed view does. Any
+    divergence in crop rule, channel weighting, bit order, or
+    threshold strictness flips bits and fails the gate."""
+    from . import multimodal, synth
+
+    tiles = multimodal.image_tile_phash(
+        synth.gradient_images_df(spark, 48), grid=1)
+    return tiles.select("image_id", F.col("tile_phash").alias("phash"))
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #

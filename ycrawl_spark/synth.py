@@ -495,3 +495,91 @@ def audio_df(spark, cfg: CrawlConfig, n_clips: int | None = None,
         spark.range(0, n_clips, numPartitions=8)
         .mapInPandas(gen, schema="clip_id string, bytes binary, sample_rate int")
     )
+
+
+GRADIENT_IMAGES_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+
+
+def _gradient_params(image_id: str) -> tuple[int, int, int, int, int, str]:
+    """Deterministic image parameters an ANSI-SQL oracle can replicate:
+    every number folds out of ``md5(image_id)`` hex chars via ascii
+    arithmetic (the ``_ascii_fold7`` construction in queries.py — the
+    only integer-from-md5 both Spark/DuckDB and Python evaluate
+    identically). Pixels follow the analytic ramp
+    ``v(y, x) = (a·x + b·y + c) mod 256`` on all three channels, so any
+    pixel statistic (patch sums, means) has a closed form a SQL engine
+    can recompute WITHOUT a decoder — which is what lets the real
+    decode → patchify path be value-gated against DuckDB
+    (VERDICT r04 #8). Formats restricted to the lossless pair
+    (raw/ppm): the oracle predicts exact pixels."""
+    import hashlib
+
+    o = [ord(ch) for ch in hashlib.md5(image_id.encode()).hexdigest()]
+    w = 24 + (o[0] * 256 + o[1]) % 41
+    h = 24 + (o[2] * 256 + o[3]) % 37
+    a = 3 + o[4] % 5
+    b = 7 + o[5] % 5
+    c = (o[0] + 13 * o[4]) % 256
+    fmt = "raw" if o[6] % 2 == 0 else "ppm"
+    return w, h, a, b, c, fmt
+
+
+def _gradient_pixels(w: int, h: int, a: int, b: int, c: int) -> np.ndarray:
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    v = ((a * x[None, :] + b * y[:, None] + c) % 256).astype(np.uint8)
+    return np.repeat(v[:, :, None], 3, axis=2)
+
+
+def gradient_images_df(spark, n: int):
+    """``n`` analytic-ramp images (ids ``grad-0000``..), encoded through
+    the real lossless codecs — the oracle-replicable fixture behind
+    ``image_patch_grid_audit``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                image_id = f"grad-{int(i):04d}"
+                w, h, a, bb, c, fmt = _gradient_params(image_id)
+                px = _gradient_pixels(w, h, a, bb, c)
+                rows.append({"image_id": image_id,
+                             "bytes": codecs.encode(px, fmt),
+                             "w": w, "h": h, "fmt": fmt})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=8).mapInPandas(
+        gen, schema=GRADIENT_IMAGES_SCHEMA)
+
+
+def bordered_gradient_images_df(spark, n: int):
+    """``n`` analytic-ramp images (ids ``bord-0000``..) wrapped in a
+    constant-black letterbox/pillarbox of md5-derived thickness
+    (0-6 px per axis; ~1/7 get none on an axis). Unlike
+    ``bordered_images_df`` (xxh64 pads — pytest-only ground truth),
+    every geometry number here is SQL-recomputable, so the decode →
+    uniform-run border detection is value-gated end to end
+    (``image_border_geometry_audit``). The ramp interior guarantees no
+    content row/column is bit-uniform (a ≥ 3, b ≥ 7, width ≥ 24)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                image_id = f"bord-{int(i):04d}"
+                w, h, a, bb, c, fmt = _gradient_params(image_id)
+                import hashlib
+
+                o = [ord(ch) for ch in
+                     hashlib.md5(image_id.encode()).hexdigest()]
+                ty, tx = o[6] % 7, o[7] % 7
+                px = _gradient_pixels(w, h, a, bb, c)
+                padded = np.pad(px, ((ty, ty), (tx, tx), (0, 0)),
+                                constant_values=0)
+                rows.append({"image_id": image_id,
+                             "bytes": codecs.encode(padded, fmt),
+                             "w": w + 2 * tx, "h": h + 2 * ty, "fmt": fmt})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=8).mapInPandas(
+        gen, schema=GRADIENT_IMAGES_SCHEMA)
