@@ -10298,6 +10298,184 @@ def phash_ramp_audit(spark, sf_dir):
     return tiles.select("image_id", F.col("tile_phash").alias("phash"))
 
 
+@query(
+    "gopher_quality_rules",
+    """
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, source, len(toks) AS n_tok,
+             list_sum(list_transform(toks, x -> len(x))) AS n_chars_tok,
+             len(list_filter(toks, x -> x IN ('a', 'the'))) AS stop_hits
+      FROM t
+    ), tokc AS (
+      SELECT doc_id, MAX(cnt) AS top_tok_n
+      FROM (SELECT doc_id, tok, COUNT(*) AS cnt
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ), scored AS (
+      SELECT b.source, b.n_tok,
+             (100 * b.n_chars_tok) // b.n_tok AS mean_wl_centi,
+             (1000 * b.stop_hits) // b.n_tok AS stop_permille,
+             (1000 * c.top_tok_n) // b.n_tok AS top_tok_permille
+      FROM base b JOIN tokc c ON b.doc_id = c.doc_id
+    ), gated AS (
+      SELECT source,
+             CASE WHEN n_tok < 15 OR n_tok > 90 THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN mean_wl_centi < 380 OR mean_wl_centi > 480
+                  THEN 1 ELSE 0 END AS f_wl,
+             CASE WHEN stop_permille < 20 THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN top_tok_permille > 200 THEN 1 ELSE 0 END AS f_rep
+      FROM scored
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f_len) AS BIGINT) AS n_fail_length,
+           CAST(SUM(f_wl) AS BIGINT) AS n_fail_wordlen,
+           CAST(SUM(f_stop) AS BIGINT) AS n_fail_stopword,
+           CAST(SUM(f_rep) AS BIGINT) AS n_fail_repetition,
+           CAST(SUM(CASE WHEN f_len + f_wl + f_stop + f_rep = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM gated GROUP BY source
+    """,
+)
+def gopher_quality_rules(spark, sf_dir):
+    """Gopher-style document quality gates (Rae et al. 2021 §A1.1 —
+    the published rule family every large text pipeline reruns):
+    per-doc token count bounds, mean-word-length band, minimum
+    stop-word presence, and a repetition gate on the most frequent
+    token's share, rolled up per source as a pass/fail funnel.  All
+    thresholds in exact integer centi/permille (cross-multiplied DIV)
+    so both engines agree bit for bit.  Plan: the length/word-length/
+    stop-word scores are IN-ROW higher-order functions on the token
+    array (no explode — one scan); only the top-token share needs the
+    (doc, token) rollup, one map-side-combinable shuffle whose key
+    cardinality is bounded by doc_count × vocab.  At 100 TB this is a
+    scan + one combiner-friendly aggregation — the same shape the
+    reference's per-payload validation pass has (parse.py guards),
+    generalized to corpus QC."""
+    t = textops.with_tokens(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "tokens")
+    base = t.select(
+        "doc_id", "source",
+        F.size("tokens").alias("n_tok"),
+        F.expr("aggregate(transform(tokens, x -> length(x)),"
+               " 0L, (acc, x) -> acc + x)").alias("n_chars_tok"),
+        F.size(F.expr("filter(tokens, x -> x IN ('a', 'the'))"))
+        .alias("stop_hits"),
+    )
+    tokc = (
+        t.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_tok_n"))
+    )
+    scored = base.join(tokc, "doc_id").select(
+        "source", "n_tok",
+        F.expr("(100 * n_chars_tok) DIV n_tok").alias("mean_wl_centi"),
+        F.expr("(1000 * stop_hits) DIV n_tok").alias("stop_permille"),
+        F.expr("(1000 * top_tok_n) DIV n_tok").alias("top_tok_permille"),
+    )
+    gated = scored.select(
+        "source",
+        F.when((F.col("n_tok") < 15) | (F.col("n_tok") > 90), 1)
+        .otherwise(0).alias("f_len"),
+        F.when((F.col("mean_wl_centi") < 380)
+               | (F.col("mean_wl_centi") > 480), 1).otherwise(0)
+        .alias("f_wl"),
+        F.when(F.col("stop_permille") < 20, 1).otherwise(0).alias("f_stop"),
+        F.when(F.col("top_tok_permille") > 200, 1).otherwise(0)
+        .alias("f_rep"),
+    )
+    return gated.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("f_len").cast("long").alias("n_fail_length"),
+        F.sum("f_wl").cast("long").alias("n_fail_wordlen"),
+        F.sum("f_stop").cast("long").alias("n_fail_stopword"),
+        F.sum("f_rep").cast("long").alias("n_fail_repetition"),
+        F.sum(F.when(F.col("f_len") + F.col("f_wl") + F.col("f_stop")
+                     + F.col("f_rep") == 0, 1).otherwise(0))
+        .cast("long").alias("n_pass"),
+    )
+
+
+@query(
+    "c4_line_dedup_audit",
+    """
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ), lines AS (
+      SELECT doc_id, source, li AS line_idx,
+             array_to_string(toks[1 + 7*li : 7 + 7*li], ' ') AS line,
+             len(toks) - 7*li AS line_len
+      FROM (SELECT doc_id, source, toks,
+                   unnest(range((len(toks) + 6) // 7)) AS li FROM t)
+    ), kept_short AS (
+      SELECT *, CASE WHEN least(line_len, 7) < 3 THEN 1 ELSE 0 END AS short
+      FROM lines
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                   ORDER BY doc_id, line_idx) AS occ
+      FROM kept_short WHERE short = 0
+    ), verdicts AS (
+      SELECT doc_id, any_value(source) AS source,
+             COUNT(*) AS n_lines,
+             SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT source,
+           CAST(SUM(n_lines) AS BIGINT) AS lines_total,
+           CAST(SUM(n_dup) AS BIGINT) AS lines_dropped_dup,
+           CAST(SUM(CASE WHEN n_lines - n_dup < 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_dropped,
+           CAST(SUM(CASE WHEN n_lines - n_dup >= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_kept
+    FROM verdicts GROUP BY source
+    """,
+)
+def c4_line_dedup_audit(spark, sf_dir):
+    """C4-style corpus-level line deduplication accounting (Raffel et
+    al. 2020 §2.2: drop every repeated occurrence of a line across the
+    WHOLE corpus, then drop documents left with too few lines).  Lines
+    are synthesized as fixed 7-token spans (the corpus has no newlines;
+    the chunking is deterministic so both engines derive identical
+    lines), sub-3-token trailing fragments are dropped first (the C4
+    short-line rule), and first-occurrence-wins is totally ordered by
+    (doc_id, line_idx) — the same keep-first discipline as the dedup
+    stack.  Plan: in-row slice explode (no join), ONE shuffle keyed by
+    line text for the first-occurrence window — corpus-level line
+    dedup at 100 TB is exactly this shape (CCNet/C4 run it at
+    petabyte scale), with hot boilerplate lines the skew risk the
+    bucket caps elsewhere handle; here every line key is grouped once
+    and the per-key window state is O(1)."""
+    t = textops.with_tokens(load(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "tokens")
+    lines = t.select(
+        "doc_id", "source",
+        F.explode(F.expr("transform(sequence(0, CAST((size(tokens) + 6) DIV 7"
+                         " AS INT) - 1), li -> struct(li AS line_idx,"
+                         " array_join(slice(tokens, 1 + 7*li, 7), ' ')"
+                         " AS line, size(tokens) - 7*li AS line_len))"))
+        .alias("s"),
+    ).select("doc_id", "source", "s.line_idx", "s.line", "s.line_len")
+    kept = lines.filter(F.least(F.col("line_len"), F.lit(7)) >= 3)
+    ranked = kept.withColumn(
+        "occ", F.row_number().over(
+            W.partitionBy("line").orderBy("doc_id", "line_idx")))
+    verdicts = ranked.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup"),
+    )
+    return verdicts.groupBy("source").agg(
+        F.sum("n_lines").cast("long").alias("lines_total"),
+        F.sum("n_dup").cast("long").alias("lines_dropped_dup"),
+        F.sum(F.when(F.col("n_lines") - F.col("n_dup") < 3, 1).otherwise(0))
+        .cast("long").alias("docs_dropped"),
+        F.sum(F.when(F.col("n_lines") - F.col("n_dup") >= 3, 1).otherwise(0))
+        .cast("long").alias("docs_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
