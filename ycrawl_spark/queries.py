@@ -10299,6 +10299,204 @@ def phash_ramp_audit(spark, sf_dir):
 
 
 @query(
+    "thumbnail_ramp_audit",
+    f"""
+    WITH ids AS (
+      SELECT 'grad-' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+             md5('grad-' || lpad(CAST(i AS VARCHAR), 4, '0')) AS hh
+      FROM range(48) t(i)
+    ), par AS ({_GRAD_PARAMS_SQL} FROM ids),
+    grid AS (SELECT *, h // 8 AS bh, w // 8 AS bw FROM par),
+    ys AS (
+      SELECT image_id, a, b, c, bh, bw, unnest(range(bh * 8)) AS y FROM grid
+    ), pxl AS (
+      SELECT image_id, bh, bw, y, x, (a * x + b * y + c) % 256 AS v
+      FROM (SELECT *, unnest(range(bw * 8)) AS x FROM ys)
+    )
+    SELECT image_id,
+           CAST(y // bh AS INT) AS py, CAST(x // bw AS INT) AS px,
+           CAST(SUM(v) // (bh * bw) AS INT) AS gray
+    FROM pxl GROUP BY image_id, py, px, bh, bw
+    """,
+)
+def thumbnail_ramp_audit(spark, sf_dir):
+    """The block-mean thumbnail path VALUE-GATED: 48 analytic-ramp
+    images run through the production decode → ``multimodal.
+    image_resize`` (8×8 numpy block-mean, the PIL-resize stand-in) and
+    every thumbnail PIXEL is unpacked JVM-side (hex → posexploded byte
+    index → conv base-16, channel 0 of the packed RGB triplet — no
+    Python touches the bytes after the Arrow stage) and checked against
+    DuckDB's closed-form block arithmetic: thumb(i,j) =
+    ⌊Σ v / (bh·bw)⌋, exact because numpy's float64 block mean of ≤ 56
+    uint8 pixels is correctly rounded and every non-integer rational
+    mean sits ≥ 1/56 from an integer — truncation can't straddle.
+    Channels are equal on the ramp so channel 0 IS the gray value.
+    This closes the oracle gap on the resize stage (the one decode op
+    still pytest-only after VERDICT r04 #8); one Arrow scan, 64 rows
+    per image, scan-shaped at any corpus size."""
+    from . import multimodal, synth
+
+    thumbs = multimodal.image_resize(
+        synth.gradient_images_df(spark, 48), tw=8, th=8)
+    return (
+        thumbs.select("image_id", F.hex("thumb").alias("hx"))
+        .select("image_id",
+                F.explode(F.sequence(F.lit(0), F.lit(63))).alias("p"), "hx")
+        .select(
+            "image_id",
+            F.expr("CAST(p DIV 8 AS INT)").alias("py"),
+            F.expr("CAST(p % 8 AS INT)").alias("px"),
+            F.expr("CAST(conv(substring(hx, 6 * p + 1, 2), 16, 10) AS INT)")
+            .alias("gray"),
+        )
+    )
+
+
+@query(
+    "audio_energy_ramp_audit",
+    """
+    WITH ids AS (
+      SELECT 'aud-' || lpad(CAST(i AS VARCHAR), 4, '0') AS clip_id,
+             md5('aud-' || lpad(CAST(i AS VARCHAR), 4, '0')) AS hh
+      FROM range(40) t(i)
+    ), par AS (
+      SELECT clip_id,
+             1500 + (ascii(substr(hh,1,1))*256 + ascii(substr(hh,2,1))) % 1400
+               AS n_s,
+             3 + ascii(substr(hh,5,1)) % 11 AS a,
+             ascii(substr(hh,6,1))*256 + ascii(substr(hh,3,1)) AS c
+      FROM ids
+    ), smp AS (
+      SELECT clip_id, a, c, unnest(range(n_s)) AS i FROM par
+    ), v AS (
+      SELECT clip_id, i // 1024 AS win_idx,
+             ((a * i + c) % 4096) - 2048 AS s
+      FROM smp
+    )
+    SELECT clip_id, CAST(win_idx AS INT) AS win_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_in_win,
+           CAST(SUM(s * s) // COUNT(*) AS BIGINT) AS energy,
+           CAST(MAX(ABS(s)) AS INT) AS peak
+    FROM v GROUP BY clip_id, win_idx
+    """,
+)
+def audio_energy_ramp_audit(spark, sf_dir):
+    """The WAV decode → windowed-energy path VALUE-GATED: 40 analytic
+    sawtooth clips (``s(i) = ((a·i + c) mod 4096) − 2048``, parameters
+    md5-folded — synth.ramp_audio_df) are written through the real
+    RIFF/WAVE container writer, decoded by the production chunk walk
+    (codecs.decode_wav), and every windowed statistic of
+    ``multimodal.audio_energy_windows`` — window population, integer
+    energy ``(Σs²) div n``, absolute peak — is checked against DuckDB's
+    closed-form sample regeneration. Clip lengths straddle the
+    1024-sample window so every clip exercises both the full-window and
+    the partial-trailing-window divisor branch; everything is int64
+    end to end, no float tolerance anywhere. Closes the oracle gap on
+    the audio modality (previously pytest square-wave pins only); one
+    Arrow scan, ≤ 3 rows per clip at any corpus size."""
+    from . import multimodal, synth
+
+    wins = multimodal.audio_energy_windows(
+        synth.ramp_audio_df(spark, 40), win=1024)
+    return wins.select(
+        "clip_id", F.col("win_idx").cast("int").alias("win_idx"),
+        F.col("n_in_win").cast("long").alias("n_in_win"),
+        F.col("energy").cast("long").alias("energy"),
+        F.col("peak").cast("int").alias("peak"),
+    )
+
+
+@query(
+    "video_scene_ramp_audit",
+    """
+    WITH vids AS (
+      SELECT 'vid-' || lpad(CAST(i AS VARCHAR), 3, '0') AS video_id,
+             md5('vid-' || lpad(CAST(i AS VARCHAR), 3, '0')) AS hh
+      FROM range(24) t(i)
+    ), vp AS (
+      SELECT video_id,
+             24 + (ascii(substr(hh,1,1))*256 + ascii(substr(hh,2,1))) % 41 AS w,
+             24 + (ascii(substr(hh,3,1))*256 + ascii(substr(hh,4,1))) % 37 AS h,
+             6 + ascii(substr(hh,5,1)) % 7 AS n_f
+      FROM vids
+    ), fr AS (
+      SELECT video_id, w, h, unnest(range(n_f)) AS f FROM vp
+    ), par AS (
+      SELECT video_id, f, w, h, h // 8 AS bh, w // 8 AS bw,
+             3 + ascii(substr(sh,5,1)) % 5 AS a,
+             7 + ascii(substr(sh,6,1)) % 5 AS b,
+             (ascii(substr(sh,1,1)) + 13*ascii(substr(sh,5,1))) % 256 AS c
+      FROM (SELECT *, md5(video_id || '/s' || CAST(f // 3 AS VARCHAR)) AS sh
+            FROM fr)
+    ), ys AS (
+      SELECT video_id, f, a, b, c, bh, bw, unnest(range(bh * 8)) AS y
+      FROM par
+    ), pxl AS (
+      SELECT video_id, f, bh, bw, y, x, (a * x + b * y + c) % 256 AS v
+      FROM (SELECT *, unnest(range(bw * 8)) AS x FROM ys)
+    ), blocks AS (
+      SELECT video_id, f, y // bh AS by, x // bw AS bx, 3 * SUM(v) AS s
+      FROM pxl GROUP BY video_id, f, by, bx
+    ), tot AS (
+      SELECT *, SUM(s) OVER (PARTITION BY video_id, f) AS total FROM blocks
+    ), hsh AS (
+      SELECT video_id, f,
+             CAST(SUM(CASE WHEN 64 * s > total THEN
+                        CASE WHEN by * 8 + bx = 63
+                             THEN -9223372036854775808
+                             ELSE (CAST(1 AS BIGINT) << (by * 8 + bx)) END
+                      ELSE 0 END) AS BIGINT) AS phash
+      FROM tot GROUP BY video_id, f
+    ), bits AS (
+      SELECT video_id, f, by * 8 + bx AS bitpos,
+             CASE WHEN 64 * s > total THEN 1 ELSE 0 END AS bit
+      FROM tot
+    ), ham AS (
+      SELECT b1.video_id, b1.f,
+             SUM(CASE WHEN b1.bit <> b0.bit THEN 1 ELSE 0 END) AS hamming
+      FROM bits b1
+      JOIN bits b0 ON b1.video_id = b0.video_id AND b0.f = b1.f - 1
+                  AND b1.bitpos = b0.bitpos
+      GROUP BY b1.video_id, b1.f
+    )
+    SELECT h.video_id, CAST(h.f AS INT) AS frame_idx, h.phash,
+           CAST(m.hamming AS INT) AS hamming_prev,
+           COALESCE(m.hamming > 8, FALSE) AS is_cut
+    FROM hsh h LEFT JOIN ham m ON h.video_id = m.video_id AND h.f = m.f
+    """,
+)
+def video_scene_ramp_audit(spark, sf_dir):
+    """The video decode → frame-sample → per-frame phash → scene-cut
+    chain VALUE-GATED bit for bit: 24 analytic-ramp Y4M clips (6-12
+    frames, pixels constant within each planted 3-frame scene and
+    re-parameterized at scene boundaries — synth.ramp_video_df) run
+    through the production ``video_frame_phash`` AND
+    ``video_scene_cuts`` (real YUV4MPEG2 stream walk, C444 plane
+    reshape, the same 64-bit block-threshold hash as the image path,
+    JVM lag-window hamming). DuckDB regenerates every frame's pixels
+    from the md5 folds, rebuilds each phash with the cross-multiplied
+    integer threshold and signed bit-63 assembly (the
+    ``phash_ramp_audit`` construction), and computes inter-frame
+    hamming as a bitpos self-join — so hash bits, hamming distances,
+    NULL-first-frame semantics, and the cut flag are all checked with
+    zero float tolerance. Closes the oracle gap on the video modality
+    (previously round-trip pytest pins only). Scale shape unchanged:
+    one Arrow decode scan, per-video lag window — one hash partition
+    by video_id, bounded by clip length."""
+    from . import multimodal, synth
+
+    vids = synth.ramp_video_df(spark, 24)
+    ph = multimodal.video_frame_phash(vids, every_n=1)
+    cuts = multimodal.video_scene_cuts(vids, max_intra_hamming=8,
+                                       every_n=1)
+    return ph.join(cuts, ["video_id", "frame_idx"]).select(
+        "video_id", "frame_idx", "phash",
+        F.col("hamming_prev").cast("int").alias("hamming_prev"),
+        "is_cut",
+    )
+
+
+@query(
     "gopher_quality_rules",
     """
     WITH t AS (
@@ -10476,6 +10674,125 @@ def c4_line_dedup_audit(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_informed_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+             md5(array_to_string(string_split(text, ' ')[1:6], ' ')) AS fp
+      FROM documents
+    ), ranked AS (
+      SELECT host,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS occ
+      FROM d
+    ), hosts AS (
+      SELECT host, COUNT(*) AS n_docs,
+             SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM ranked GROUP BY host
+    ), demand AS (
+      SELECT host, n_docs, n_dup, n_docs - n_dup AS novel,
+             SUM(n_docs) OVER () AS tot_docs,
+             SUM(n_docs - n_dup) OVER () AS tot_novel
+      FROM hosts
+    ), floors AS (
+      SELECT host, n_docs, n_dup, novel,
+             (10000 * novel) // tot_novel AS floor_n,
+             (10000 * novel) % tot_novel AS rem_n,
+             (10000 * n_docs) // tot_docs AS floor_r,
+             (10000 * n_docs) % tot_docs AS rem_r
+      FROM demand
+    ), rk AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY rem_n DESC, host) AS rk_n,
+             ROW_NUMBER() OVER (ORDER BY rem_r DESC, host) AS rk_r,
+             10000 - SUM(floor_n) OVER () AS extra_n,
+             10000 - SUM(floor_r) OVER () AS extra_r
+      FROM floors
+    )
+    SELECT host, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_dup AS BIGINT) AS n_dup,
+           CAST((1000 * n_dup) // n_docs AS BIGINT) AS dup_permille,
+           CAST(floor_n + CASE WHEN rk_n <= extra_n THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+           CAST(floor_r + CASE WHEN rk_r <= extra_r THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_naive,
+           CAST((floor_n + CASE WHEN rk_n <= extra_n THEN 1 ELSE 0 END)
+                - (floor_r + CASE WHEN rk_r <= extra_r THEN 1 ELSE 0 END)
+                AS BIGINT) AS budget_delta
+    FROM rk
+    """,
+)
+def dedup_informed_budget(spark, sf_dir):
+    """Dedup-informed crawl-budget reallocation — the feedback loop
+    that closes the dedup stack into the scheduler: a host whose pages
+    keep deduplicating against content already in the corpus is
+    yielding no novelty, so the next epoch's global budget should
+    shift away from it.  Per-host duplicate mass comes from the same
+    first-occurrence-wins discipline as the dedup stack (row_number
+    over a content fingerprint, totally ordered by doc_id — here the
+    6-token head fingerprint, the corpus's planted collision signal),
+    and the budget split is Hamilton largest-remainder apportionment
+    (budget_apportionment's exact-sum discipline) computed TWICE from
+    one host table — once on novelty-weighted demand, once on raw doc
+    mass — so `budget_delta` prices exactly what the dedup signal
+    moved.  Plan: one fingerprint-keyed window shuffle (corpus-scale,
+    per-key O(1) state), one combiner-friendly host rollup; every
+    apportionment window runs over the HOST table only (bounded —
+    never per-URL), the same envelope as budget_apportionment.
+    Reference analog: the reference's Coordinator distributes tasks
+    and monitors completion per vendor (reference README.md:12,
+    reference main.py task registry); this is that dispatch knob made
+    corpus-yield-driven."""
+    d = load(spark, sf_dir, "documents").select(
+        F.expr("'h' || CAST(doc_id % 40 AS STRING)").alias("host"),
+        "doc_id",
+        F.expr("md5(array_join(slice(split(text, ' '), 1, 6), ' '))")
+        .alias("fp"),
+    )
+    ranked = d.withColumn(
+        "occ", F.row_number().over(W.partitionBy("fp").orderBy("doc_id")))
+    hosts = ranked.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dup"),
+    )
+    everything = W.partitionBy()
+    t = hosts.select(
+        "host", "n_docs", "n_dup",
+        (F.col("n_docs") - F.col("n_dup")).alias("novel"),
+        F.sum("n_docs").over(everything).alias("tot_docs"),
+        F.sum(F.col("n_docs") - F.col("n_dup")).over(everything)
+        .alias("tot_novel"),
+    ).select(
+        "host", "n_docs", "n_dup",
+        F.expr("(10000 * novel) DIV tot_novel").alias("floor_n"),
+        F.expr("(10000 * novel) % tot_novel").alias("rem_n"),
+        F.expr("(10000 * n_docs) DIV tot_docs").alias("floor_r"),
+        F.expr("(10000 * n_docs) % tot_docs").alias("rem_r"),
+    )
+    r = (t.withColumn("rk_n", F.row_number().over(
+            W.orderBy(F.desc("rem_n"), "host")))
+         .withColumn("rk_r", F.row_number().over(
+            W.orderBy(F.desc("rem_r"), "host")))
+         .withColumn("extra_n",
+                     F.lit(10000) - F.sum("floor_n").over(everything))
+         .withColumn("extra_r",
+                     F.lit(10000) - F.sum("floor_r").over(everything)))
+    alloc = (F.col("floor_n")
+             + F.when(F.col("rk_n") <= F.col("extra_n"), 1).otherwise(0))
+    naive = (F.col("floor_r")
+             + F.when(F.col("rk_r") <= F.col("extra_r"), 1).otherwise(0))
+    return r.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        F.expr("(1000 * n_dup) DIV n_docs").cast("long")
+        .alias("dup_permille"),
+        alloc.cast("long").alias("alloc"),
+        naive.cast("long").alias("alloc_naive"),
+        (alloc - naive).cast("long").alias("budget_delta"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
@@ -10496,11 +10813,20 @@ DRIVER_WINDOW: list[str] = [
     # slot.  Lead: levenshtein_candidates re-gate (its blocking-key cap
     # landed in r04 AFTER the r03 gate, so the gated implementation is
     # stale).  The other 49 slots take never-driver-gated oracle-backed
-    # queries; the 4 left out (retry_backoff_schedule,
-    # content_length_mismatch, run_length_degeneracy, host_ip_rotation)
-    # are single-rollup scan-shaped ops fully covered by the local
-    # 228/228 sweep — excluded in favor of the multi-stage plans where
-    # hard third-party signal matters most.
+    # queries, prioritizing the round-5 decode value-gates (the VERDICT
+    # r04 #8 deliverables — patch grid / border geometry / exposure
+    # histogram / phash bits / thumbnail / audio energy / video scene
+    # cuts) and the round-5 cross-component adds (dedup-informed budget,
+    # Gopher gates, C4 line dedup, snapshot retention).  Left out:
+    # in-row/single-rollup scan-shaped ops (retry_backoff_schedule,
+    # content_length_mismatch, run_length_degeneracy, host_ip_rotation,
+    # mojibake_audit, markup_depth_audit, token_budget_truncation,
+    # subword_fertility_by_lang, lm_rarity_score, canonical_link_conflict,
+    # image_metadata_privacy_audit, politeness_adaptation_step,
+    # warc_chunk_index, conditional_get_recrawl,
+    # rendezvous_shard_rebalance) — all green in the local 239/239
+    # sf0.001+sf0.01 sweeps; excluded in favor of the multi-stage plans
+    # and Arrow decode paths where hard third-party signal matters most.
     "levenshtein_candidates",    # re-gate: cap added post-r03-gate
     "host_fairness_gini",        # integer-DIV fix this round (ADVICE r04)
     "dedup_threshold_sweep",     # oracle cap mirror this round (ADVICE r04)
@@ -10522,30 +10848,30 @@ DRIVER_WINDOW: list[str] = [
     "url_template_mining",
     "lsh_transitivity_audit",
     "int8_quantization_audit",
-    "conditional_get_recrawl",
+    "c4_line_dedup_audit",
     "mirror_host_detection",
-    "lm_rarity_score",
+    "thumbnail_ramp_audit",    # r05: resize value gate
     "crawl_trap_score",
     "ip_politeness_rollup",
     "hreflang_variant_cluster",
     "registrable_domain_rollup",
     "caption_filter_funnel",
-    "mojibake_audit",
+    "image_patch_grid_audit",  # r05: decode->patchify value gate
     "robots_diff_audit",
-    "subword_fertility_by_lang",
-    "warc_chunk_index",
+    "phash_ramp_audit",       # r05: phash bit-exact value gate
+    "gopher_quality_rules",
     "crawl_delay_compliance",
-    "rendezvous_shard_rebalance",
-    "canonical_link_conflict",
+    "snapshot_retention_audit",
+    "audio_energy_ramp_audit", # r05: WAV decode value gate
     "image_dimension_audit",
-    "markup_depth_audit",
-    "image_metadata_privacy_audit",
+    "image_border_geometry_audit",
+    "video_scene_ramp_audit",  # r05: Y4M decode/scene-cut value gate
     "frontier_score_quota",
     "budget_apportionment",
     "stream_sliding_rate_monitor",
     "lang_rebalance_plan",
-    "token_budget_truncation",
-    "politeness_adaptation_step",
+    "image_exposure_grid_audit",
+    "dedup_informed_budget",   # r05: dedup->scheduler feedback loop
     "blocklist_match_audit",
     "clip_alignment_filter",
     "watermark_late_drop_audit",

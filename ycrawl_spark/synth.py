@@ -552,6 +552,84 @@ def gradient_images_df(spark, n: int):
         gen, schema=GRADIENT_IMAGES_SCHEMA)
 
 
+RAMP_AUDIO_SCHEMA = "clip_id string, bytes binary, sample_rate int"
+
+
+def ramp_audio_df(spark, n: int):
+    """``n`` analytic-ramp PCM16 WAV clips (ids ``aud-0000``..): sample
+    ``s(i) = ((a·i + c) mod 4096) − 2048`` with (length, a, c, rate)
+    folded from md5 hex chars exactly like ``_gradient_params`` — every
+    windowed integer statistic (Σs², max |s|, window population) has a
+    SQL closed form, which is what lets the real RIFF chunk walk →
+    ``audio_energy_windows`` path be value-gated against DuckDB
+    (``audio_energy_ramp_audit``). Lengths 1500-2899 samples straddle
+    the 1024-sample window so every clip carries at least one FULL and
+    one PARTIAL trailing window (the divisor-correctness branch)."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                clip_id = f"aud-{int(i):04d}"
+                o = [ord(ch) for ch in
+                     hashlib.md5(clip_id.encode()).hexdigest()]
+                n_s = 1500 + (o[0] * 256 + o[1]) % 1400
+                a = 3 + o[4] % 11
+                c = o[5] * 256 + o[2]
+                rate = 8000 + 100 * (o[6] % 5)
+                idx = np.arange(n_s, dtype=np.int64)
+                pcm = (((a * idx + c) % 4096) - 2048).astype(np.int16)
+                rows.append({"clip_id": clip_id,
+                             "bytes": codecs.encode_wav(pcm, rate),
+                             "sample_rate": rate})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=8).mapInPandas(
+        gen, schema=RAMP_AUDIO_SCHEMA)
+
+
+RAMP_VIDEO_SCHEMA = "video_id string, bytes binary"
+
+
+def ramp_video_df(spark, n: int):
+    """``n`` analytic-ramp Y4M clips (ids ``vid-000``..): 6-12 frames
+    per clip, dims folded from the clip md5, and every frame's ramp
+    parameters folded from ``md5(video_id || '/s' || f // 3)`` — frames
+    share pixel content within a 3-frame "scene" and change ramp at
+    scene boundaries, planting exact scene-cut ground truth. Encoded
+    through the real C444 Y4M writer so the decode → frame-sample →
+    per-frame phash → lag-hamming chain (``video_scene_ramp_audit``)
+    is value-gated bit for bit: DuckDB regenerates each frame's pixels
+    and block sums from the same md5 folds."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                video_id = f"vid-{int(i):03d}"
+                o = [ord(ch) for ch in
+                     hashlib.md5(video_id.encode()).hexdigest()]
+                w = 24 + (o[0] * 256 + o[1]) % 41
+                h = 24 + (o[2] * 256 + o[3]) % 37
+                n_f = 6 + o[4] % 7
+                frames = []
+                for f in range(n_f):
+                    so = [ord(ch) for ch in hashlib.md5(
+                        f"{video_id}/s{f // 3}".encode()).hexdigest()]
+                    a = 3 + so[4] % 5
+                    bb = 7 + so[5] % 5
+                    c = (so[0] + 13 * so[4]) % 256
+                    frames.append(_gradient_pixels(w, h, a, bb, c))
+                rows.append({"video_id": video_id,
+                             "bytes": codecs.encode_y4m(frames)})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=8).mapInPandas(
+        gen, schema=RAMP_VIDEO_SCHEMA)
+
+
 def bordered_gradient_images_df(spark, n: int):
     """``n`` analytic-ramp images (ids ``bord-0000``..) wrapped in a
     constant-black letterbox/pillarbox of md5-derived thickness
