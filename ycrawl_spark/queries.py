@@ -10793,6 +10793,234 @@ def dedup_informed_budget(spark, sf_dir):
     )
 
 
+@query(
+    "curriculum_phase_assign",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             (100 * (len(text) - len(string_split(text, ' ')) + 1))
+               // len(string_split(text, ' ')) AS mean_wl_centi,
+             (1000 * len(list_distinct(string_split(text, ' '))))
+               // len(string_split(text, ' ')) AS ttr_permille
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_tok, mean_wl_centi + ttr_permille AS difficulty
+      FROM d
+    ), phased AS (
+      SELECT *, NTILE(4) OVER (ORDER BY difficulty, doc_id) AS phase
+      FROM scored
+    )
+    SELECT CAST(phase AS INT) AS phase, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+           CAST(MAX(difficulty) AS BIGINT) AS max_difficulty
+    FROM phased GROUP BY phase
+    """,
+)
+def curriculum_phase_assign(spark, sf_dir):
+    """Curriculum-learning phase assignment — order the corpus easy →
+    hard and cut it into 4 equal training phases, the schedule a
+    curriculum trainer consumes.  Difficulty is an in-row integer
+    composite (mean word length in centi-chars + type-token ratio in
+    permille — longer words and less repetition read harder), with the
+    token-length sum taken as ``len(text) − n_tok + 1`` so both engines
+    compute the identical number without an array fold.  The phase cut
+    is NTILE(4) in the oracle, but at 10^10 docs Spark must not run a
+    global data window: rank comes from scheduler.with_global_pos
+    (range-partition + per-partition prefix-sum offsets) and the phase
+    from ntile's closed form over (q, rem) with the corpus count
+    broadcast as a 1-row literal — the same no-global-window
+    construction as ngram_novelty_decile.  Output is the 4-row phase
+    table (docs, token budget, difficulty band per phase)."""
+    tk = "split(text, ' ')"
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"size({tk})").alias("n_tok"),
+        F.expr(f"(100 * (length(text) - size({tk}) + 1)) DIV size({tk})")
+        .alias("mean_wl_centi"),
+        F.expr(f"(1000 * size(array_distinct({tk}))) DIV size({tk})")
+        .alias("ttr_permille"),
+    ).select(
+        "doc_id", "n_tok",
+        (F.col("mean_wl_centi") + F.col("ttr_permille")).alias("difficulty"),
+    )
+    ranked = scheduler.with_global_pos(
+        d, ["difficulty", "doc_id"], out_col="_pos")
+    n_total = d.agg(F.count("*").alias("_n"))
+    phased = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("_r", F.col("_pos") + 1)
+        .withColumn(
+            "phase",
+            F.expr(
+                "CAST(CASE WHEN _r <= (_n % 4) * (_n DIV 4 + 1)"
+                " THEN (_r + _n DIV 4) DIV (_n DIV 4 + 1)"
+                " ELSE (_n % 4) + (_r - (_n % 4) * (_n DIV 4 + 1)"
+                "   + GREATEST(_n DIV 4, 1) - 1) DIV GREATEST(_n DIV 4, 1)"
+                " END AS INT)"),
+        )
+    )
+    return phased.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("difficulty").cast("long").alias("min_difficulty"),
+        F.max("difficulty").cast("long").alias("max_difficulty"),
+    )
+
+
+@query(
+    "dedup_removal_manifest",
+    """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(text,' ')) - 3, 0)),
+               i -> array_to_string(string_split(text,' ')[i:i+3], ' ')))) AS sh
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    comp AS (
+      SELECT node AS doc_id, LEAST(node, MIN(r)) AS component
+      FROM reach GROUP BY node),
+    stats AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok, md5(text) AS fp
+      FROM documents),
+    m AS (
+      SELECT c.doc_id, c.component, s.n_tok, s.fp,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY s.n_tok DESC, c.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN stats s USING (doc_id)),
+    keep AS (
+      SELECT component, doc_id AS kept_doc, fp AS kept_fp
+      FROM m WHERE rk = 1)
+    SELECT m.doc_id AS drop_doc, k.kept_doc,
+           CAST(m.n_members AS BIGINT) AS n_members,
+           CASE WHEN m.fp = k.kept_fp THEN 'exact' ELSE 'near' END AS reason
+    FROM m JOIN keep k USING (component) WHERE m.rk > 1
+    """,
+)
+def dedup_removal_manifest(spark, sf_dir):
+    """The dedup stack's OPERATIONAL OUTPUT — the drop manifest a
+    training pipeline actually consumes: for every near-dup cluster
+    (the same n-gram candidate pairs + connected components as
+    near_dup_components), elect one canonical document (most tokens,
+    ties to the lowest doc_id — the keep-longest policy) and emit one
+    row per EVICTED document carrying its keeper, the cluster size,
+    and a reason code (exact = byte-identical text to the keeper, near
+    = cluster member with different bytes).  Plan: the capped candidate
+    generator and O(log n) component loop are upstream; the election
+    itself is two windows over the SAME component partitioning (one
+    exchange, per-partition state bounded by cluster size — which the
+    upstream pair cap bounds) and a component-keyed self-join of the
+    1-row-per-cluster keeper frame.  Oracle: recursive-CTE transitive
+    closure (the near_dup_components construction) + the same election
+    in window SQL, value-exact down to the reason string."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = textops.ngram_shared_pairs(docs, k=4, min_common=2)
+    comp = graph.connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    stats = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5("text").alias("fp"))
+    wc = W.partitionBy("component")
+    m = (
+        comp.select(F.col("node").alias("doc_id"), "component")
+        .join(stats, "doc_id")
+        .select(
+            "*",
+            F.row_number().over(wc.orderBy(F.desc("n_tok"), "doc_id"))
+            .alias("rk"),
+            F.count("*").over(wc).alias("n_members"),
+        )
+    )
+    keep = m.filter("rk = 1").select(
+        "component", F.col("doc_id").alias("kept_doc"),
+        F.col("fp").alias("kept_fp"))
+    return (
+        m.filter("rk > 1")
+        .join(keep, "component")
+        .select(
+            F.col("doc_id").alias("drop_doc"), "kept_doc",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.when(F.col("fp") == F.col("kept_fp"), "exact")
+            .otherwise("near").alias("reason"),
+        )
+    )
+
+
+@query(
+    "image_letterbox_plan",
+    """
+    WITH dims AS (
+      SELECT doc_id AS image_id,
+             200 + (doc_id * 37) % 400 AS w,
+             150 + (doc_id * 53) % 500 AS h
+      FROM documents
+    ), fit AS (
+      SELECT image_id, w, h,
+             CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS rw,
+             CASE WHEN w >= h THEN (h * 224) // w ELSE 224 END AS rh
+      FROM dims
+    )
+    SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           CAST(rw AS INT) AS rw, CAST(rh AS INT) AS rh,
+           CAST((224 - rh) // 2 AS INT) AS pad_top,
+           CAST(224 - rh - (224 - rh) // 2 AS INT) AS pad_bottom,
+           CAST((224 - rw) // 2 AS INT) AS pad_left,
+           CAST(224 - rw - (224 - rw) // 2 AS INT) AS pad_right,
+           CAST((1000 * (224 * 224 - rw * rh)) // (224 * 224) AS INT)
+             AS letterbox_permille,
+           (w < 224 AND h < 224) AS upscaled
+    FROM fit
+    """,
+)
+def image_letterbox_plan(spark, sf_dir):
+    """Aspect-preserving letterbox plan to the 224×224 training canvas
+    — the geometry every vision-model preprocessor computes before the
+    actual resample: fit scale = min(T/w, T/h) expressed as the
+    cross-multiplied integer pair (``rw = w·T div max-side``), centered
+    padding split floor/remainder exactly like np.pad's manual
+    symmetric split, wasted-canvas mass in integer permille, and an
+    upscale flag (both sides under target — the quality-loss case a
+    dimension gate usually drops).  Pure in-row integer projection over
+    the doc_id-derived dims table (the aspect_bucket_assign stand-in
+    for the input_hint image table): no shuffle at all, scan-shaped at
+    any corpus size; the per-bucket rollup composes with
+    aspect_bucket_assign downstream.  Complements thumbnail_ramp_audit
+    (which value-gates the actual resample kernel) — this op gates the
+    geometry planner that FEEDS it."""
+    dims = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id AS image_id",
+        "200 + (doc_id * 37) % 400 AS w",
+        "150 + (doc_id * 53) % 500 AS h",
+    )
+    fit = dims.selectExpr(
+        "image_id", "w", "h",
+        "CASE WHEN w >= h THEN 224 ELSE (w * 224) DIV h END AS rw",
+        "CASE WHEN w >= h THEN (h * 224) DIV w ELSE 224 END AS rh",
+    )
+    return fit.selectExpr(
+        "image_id", "CAST(w AS INT) AS w", "CAST(h AS INT) AS h",
+        "CAST(rw AS INT) AS rw", "CAST(rh AS INT) AS rh",
+        "CAST((224 - rh) DIV 2 AS INT) AS pad_top",
+        "CAST(224 - rh - (224 - rh) DIV 2 AS INT) AS pad_bottom",
+        "CAST((224 - rw) DIV 2 AS INT) AS pad_left",
+        "CAST(224 - rw - (224 - rw) DIV 2 AS INT) AS pad_right",
+        "CAST((1000 * (224 * 224 - rw * rh)) DIV (224 * 224) AS INT)"
+        " AS letterbox_permille",
+        "(w < 224 AND h < 224) AS upscaled",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
