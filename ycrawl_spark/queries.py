@@ -11021,6 +11021,165 @@ def image_letterbox_plan(spark, sf_dir):
     )
 
 
+@query(
+    "pmi_collocations",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), uni AS (
+      SELECT unnest(tk) AS tok FROM toks
+    ), ucnt AS (
+      SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok
+    ), n1 AS (SELECT COUNT(*) AS n FROM uni),
+    bi AS (
+      SELECT unnest(list_transform(
+               generate_series(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      FROM toks
+    ), bcnt AS (
+      SELECT bigram, COUNT(*) AS c_xy FROM bi
+      GROUP BY bigram HAVING COUNT(*) >= 5
+    ), n2 AS (SELECT COUNT(*) AS n FROM bi),
+    split_b AS (
+      SELECT bigram, c_xy,
+             string_split(bigram, ' ')[1] AS tok_x,
+             string_split(bigram, ' ')[2] AS tok_y
+      FROM bcnt
+    ), scored AS (
+      SELECT b.bigram, b.c_xy,
+             (1000000 * b.c_xy) // n2.n AS pxy_ppm,
+             (1000000 * ux.c) // n1.n AS px_ppm,
+             (1000000 * uy.c) // n1.n AS py_ppm
+      FROM split_b b
+      CROSS JOIN n1 CROSS JOIN n2
+      JOIN ucnt ux ON ux.tok = b.tok_x
+      JOIN ucnt uy ON uy.tok = b.tok_y
+    )
+    SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST((1000 * pxy_ppm * 1000000)
+                // (GREATEST(px_ppm, 1) * GREATEST(py_ppm, 1)) AS BIGINT)
+             AS lift_permille
+    FROM scored
+    ORDER BY lift_permille DESC, bigram
+    LIMIT 50
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Collocation (phrase) mining by integer bigram lift — the PMI
+    ranking a tokenizer-vocabulary or phrase-merge pass runs before
+    training (Mikolov et al. 2013 word2vec phrase joining).  Lift =
+    p(xy)/(p(x)p(y)) is monotone in PMI, so ranking by it needs no log:
+    both engines quantize the three probabilities to integer parts-per-
+    million FIRST (pxy_ppm etc.) and then form ``1000·pxy·10^6 div
+    (px·py)`` — every intermediate is ≤ 10^15 no matter the corpus
+    size, so the formula is overflow-safe at 10^10 docs where the naive
+    cross-multiplied ``c_xy·N1²`` blows past int64.  Plan shape: one
+    token explode → unigram count (shuffle on token), one bigram
+    explode → bigram count with a min-support HAVING (c_xy ≥ 5) that
+    prunes the long tail BEFORE the two vocab-keyed equi-joins; corpus
+    totals ride 1-row broadcast cross-joins; top-50 is a TakeOrdered
+    over the support-filtered table, never a global sort of the corpus.
+    Reference analog: the token/phrase frequency triage in the parse
+    layer (reference DataProcessor/cooker.py:30-45 builds per-payload
+    token structures this statistic would aggregate)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk"))
+    uni = toks.select(F.explode("tk").alias("tok"))
+    ucnt = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    n1 = uni.agg(F.count("*").alias("n1"))
+    bi = toks.select(F.explode(F.expr(
+        "transform(sequence(1, size(tk) - 1),"
+        " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+    )).alias("bigram"))
+    bcnt = (bi.groupBy("bigram").agg(F.count("*").alias("c_xy"))
+            .filter("c_xy >= 5"))
+    n2 = bi.agg(F.count("*").alias("n2"))
+    scored = (
+        bcnt.crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(n2))
+        .withColumn("tok_x", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("tok_y", F.expr("split(bigram, ' ')[1]"))
+        .join(ucnt.select(F.col("tok").alias("tok_x"),
+                          F.col("c").alias("c_x")), "tok_x")
+        .join(ucnt.select(F.col("tok").alias("tok_y"),
+                          F.col("c").alias("c_y")), "tok_y")
+        .selectExpr(
+            "bigram", "c_xy",
+            "(1000000 * c_xy) DIV n2 AS pxy_ppm",
+            "(1000000 * c_x) DIV n1 AS px_ppm",
+            "(1000000 * c_y) DIV n1 AS py_ppm",
+        )
+    )
+    return (
+        scored.selectExpr(
+            "bigram", "CAST(c_xy AS BIGINT) AS c_xy",
+            "CAST((1000 * pxy_ppm * 1000000)"
+            " DIV (GREATEST(px_ppm, 1) * GREATEST(py_ppm, 1)) AS BIGINT)"
+            " AS lift_permille",
+        )
+        .orderBy(F.desc("lift_permille"), "bigram")
+        .limit(50)
+    )
+
+
+@query(
+    "range_partition_plan",
+    """
+    WITH priced AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), bucketed AS (
+      SELECT *, NTILE(16) OVER (ORDER BY cents, o_orderkey) AS bucket
+      FROM priced
+    )
+    SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def range_partition_plan(spark, sf_dir):
+    """Range-partitioner boundary plan — the 16-bucket equi-depth
+    summary that sizes a ``repartitionByRange`` / Iceberg sort-order
+    write: per-bucket row count plus the exact [lo, hi] key span whose
+    hi values ARE the split points (what Spark's RangePartitioner
+    estimates by sampling, computed exactly here so the skew in any
+    bucket is auditable before the shuffle).  The oracle is NTILE(16)
+    over a total order, but Spark must not sort 10^10 rows through one
+    global window: rank comes from scheduler.with_global_pos (range
+    exchange + per-partition prefix sums) and the bucket from ntile's
+    closed form over (q, rem) with the row count broadcast as a 1-row
+    literal — the same no-global-window construction pinned for
+    curriculum_phase_assign / ngram_novelty_decile; the final rollup
+    groups 16 buckets.  Key is integer cents (exact) with o_orderkey
+    as the unique tiebreak so both engines see one total order."""
+    priced = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents",
+    )
+    ranked = scheduler.with_global_pos(
+        priced, ["cents", "o_orderkey"], out_col="_pos")
+    n_total = priced.agg(F.count("*").alias("_n"))
+    bucketed = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("_r", F.col("_pos") + 1)
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(CASE WHEN _r <= (_n % 16) * (_n DIV 16 + 1)"
+                " THEN (_r + _n DIV 16) DIV (_n DIV 16 + 1)"
+                " ELSE (_n % 16) + (_r - (_n % 16) * (_n DIV 16 + 1)"
+                "   + GREATEST(_n DIV 16, 1) - 1)"
+                "   DIV GREATEST(_n DIV 16, 1)"
+                " END AS INT)"),
+        )
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("cents").cast("long").alias("lo_cents"),
+        F.max("cents").cast("long").alias("hi_cents"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
