@@ -674,3 +674,25 @@ def test_watermark_audit_partitioned_window_no_global_sort(spark):
     assert "hashpartitioning(src_partition" in plan, plan
     assert "rangepartitioning" not in plan, plan
     assert "Join" not in plan
+
+
+def test_pmi_no_cartesian_and_support_prune_before_joins(spark):
+    """Collocation scoring joins the SUPPORT-FILTERED bigram table to
+    the unigram counts: no CartesianProduct (the two corpus totals ride
+    1-row broadcasts), and the c_xy >= 5 prune must sit under the
+    vocab-keyed joins, not above them."""
+    plan = plan_of(spark, "pmi_collocations", "simple")
+    assert "CartesianProduct" not in plan
+    # totals are 1-row broadcast nested loops; vocab joins are hash joins
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    # the min-support filter survives into the physical plan
+    assert "(c_xy" in plan and ">= 5" in plan, plan
+
+
+def test_range_partition_plan_no_global_window(spark):
+    """The 16-bucket equi-depth plan must not run NTILE over one global
+    window: rank comes from with_global_pos (range exchange + broadcast
+    offsets) and the bucket from its closed form."""
+    plan = plan_of(spark, "range_partition_plan", "simple")
+    assert "ntile" not in plan.lower()
+    assert "rangepartitioning" in plan, plan

@@ -11180,6 +11180,234 @@ def range_partition_plan(spark, sf_dir):
     )
 
 
+_REP_RULES_ROWS = (
+    # (rule_id, verdict, pattern, regex) — regex precomputed as a
+    # literal so both engines match the identical safe subset
+    # (^ literal .* $); specificity = length(pattern), allow wins ties.
+    (1, "disallow", "/private/*", "^/private/.*"),
+    (2, "allow", "/private/pub*", "^/private/pub.*"),
+    (3, "disallow", "/*.tmp$", "^/.*\\.tmp$"),
+    (4, "disallow", "/cgi/", "^/cgi/"),
+    (5, "allow", "/img/*.png$", "^/img/.*\\.png$"),
+    (6, "disallow", "/img/", "^/img/"),
+)
+
+
+@query(
+    "robots_wildcard_precedence",
+    """
+    WITH rules AS (
+      SELECT * FROM (VALUES
+        (1, 'disallow', '/private/*',    '^/private/.*'),
+        (2, 'allow',    '/private/pub*', '^/private/pub.*'),
+        (3, 'disallow', '/*.tmp$',       '^/.*\\.tmp$'),
+        (4, 'disallow', '/cgi/',         '^/cgi/'),
+        (5, 'allow',    '/img/*.png$',   '^/img/.*\\.png$'),
+        (6, 'disallow', '/img/',         '^/img/')
+      ) AS t(rule_id, verdict, pattern, regex)
+    ), urls AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 4 AS VARCHAR) AS host,
+             CASE doc_id % 6
+               WHEN 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/pub' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/img/' || CAST(doc_id AS VARCHAR) || '.png'
+               WHEN 3 THEN '/img/' || CAST(doc_id AS VARCHAR) || '.tmp'
+               WHEN 4 THEN '/cgi/' || CAST(doc_id AS VARCHAR)
+               ELSE '/a/b/' || CAST(doc_id AS VARCHAR)
+             END AS path
+      FROM documents
+    ), hits AS (
+      SELECT u.doc_id, u.host, u.path, r.verdict, r.pattern,
+             ROW_NUMBER() OVER (
+               PARTITION BY u.doc_id
+               ORDER BY len(r.pattern) DESC,
+                        CASE WHEN r.verdict = 'allow' THEN 0 ELSE 1 END,
+                        r.rule_id) AS rk
+      FROM urls u JOIN rules r ON regexp_matches(u.path, r.regex)
+    ), verdicts AS (
+      SELECT u.doc_id, u.host,
+             COALESCE(h.verdict, 'allow') AS verdict,
+             COALESCE(h.pattern, '-') AS winning_rule
+      FROM urls u LEFT JOIN (SELECT * FROM hits WHERE rk = 1) h
+        ON u.doc_id = h.doc_id
+    )
+    SELECT host, COUNT(*) AS n_urls,
+           CAST(SUM(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN verdict = 'allow' AND winning_rule <> '-'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_rule_allowed,
+           CAST(SUM(CASE WHEN winning_rule = '-' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_default_allow,
+           CAST((1000 * SUM(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS blocked_permille
+    FROM verdicts GROUP BY host
+    """,
+)
+def robots_wildcard_precedence(spark, sf_dir):
+    """REP wildcard-rule precedence (the Google robots.txt spec /
+    RFC 9309 §2.2.2): among all rules whose pattern matches a URL path,
+    the MOST SPECIFIC (longest pattern) wins, and on a length tie
+    ``allow`` beats ``disallow``; a URL no rule matches defaults to
+    allow.  The planted 6-rule table exercises every precedence case —
+    '/private/pub*' (allow, len 12) overrides '/private/*' (disallow,
+    len 10); '/img/*.png$' (allow, len 11) overrides '/img/' (disallow)
+    while '.tmp' URLs fall to the '$'-anchored '/*.tmp$'.  Wildcards
+    are precompiled to literal regexes IN the rule table (safe subset:
+    ^ .* \\. $) so Spark rlike and DuckDB regexp_matches evaluate the
+    identical automaton.  Plan shape: the rule table is a 6-row
+    broadcast against the URL scan (theta-join on the regex predicate
+    — the one place a BroadcastNestedLoopJoin is the right plan, same
+    as blocklist_match_audit), precedence is a per-URL window over ≤6
+    matched rows, then one host rollup; complements robots_gate_split
+    (prefix-rule urllib parity) and robots_diff_audit (TTL refresh
+    delta) with the full wildcard-precedence semantics.  Reference
+    analog: the worker's per-URL gate before dispatch (reference
+    Worker/main.py fetch loop)."""
+    rules = spark.createDataFrame(
+        list(_REP_RULES_ROWS), "rule_id int, verdict string, "
+        "pattern string, regex string")
+    urls = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat('h', CAST(doc_id % 4 AS STRING)) AS host",
+        "CASE CAST(doc_id % 6 AS INT)"
+        " WHEN 0 THEN concat('/private/doc', CAST(doc_id AS STRING))"
+        " WHEN 1 THEN concat('/private/pub', CAST(doc_id AS STRING))"
+        " WHEN 2 THEN concat('/img/', CAST(doc_id AS STRING), '.png')"
+        " WHEN 3 THEN concat('/img/', CAST(doc_id AS STRING), '.tmp')"
+        " WHEN 4 THEN concat('/cgi/', CAST(doc_id AS STRING))"
+        " ELSE concat('/a/b/', CAST(doc_id AS STRING)) END AS path",
+    )
+    hits = (
+        urls.join(F.broadcast(rules), F.expr("path RLIKE regex"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.length("pattern").desc(),
+                    F.when(F.col("verdict") == "allow", 0).otherwise(1),
+                    "rule_id")),
+        )
+        .filter("rk = 1")
+        .select("doc_id", "verdict", "pattern")
+    )
+    verdicts = (
+        urls.join(hits, "doc_id", "left")
+        .select(
+            "host",
+            F.coalesce("verdict", F.lit("allow")).alias("verdict"),
+            F.coalesce("pattern", F.lit("-")).alias("winning_rule"),
+        )
+    )
+    return verdicts.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.when(F.col("verdict") == "disallow", 1).otherwise(0))
+        .alias("n_blocked"),
+        F.sum(F.when((F.col("verdict") == "allow")
+                     & (F.col("winning_rule") != "-"), 1).otherwise(0))
+        .alias("n_rule_allowed"),
+        F.sum(F.when(F.col("winning_rule") == "-", 1).otherwise(0))
+        .alias("n_default_allow"),
+    ).withColumn(
+        "blocked_permille",
+        F.expr("CAST((1000 * n_blocked) DIV n_urls AS BIGINT)"),
+    )
+
+
+@query(
+    "dedup_survivorship_matrix",
+    """
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      -- mirror feed re-serves every 20th doc verbatim
+      SELECT doc_id + 5000000, 'mirror', text
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      -- every 60th mirror copy is the LONGER edition and wins election
+      SELECT doc_id + 6000000, 'mirror', text || ' ' || text
+      FROM documents WHERE doc_id % 60 = 0
+      UNION ALL
+      -- intra-source twin: same source re-ingests every 35th doc
+      SELECT doc_id + 7000000, source, text
+      FROM documents WHERE doc_id % 35 = 0
+    ), fp AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id >= 6000000 AND doc_id < 7000000
+                      THEN substr(text, 1, (len(text) - 1) // 2)
+                      ELSE text END) AS fp,
+             len(string_split(text, ' ')) AS n_tok
+      FROM corpus
+    ), groups AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY fp ORDER BY n_tok DESC, doc_id) AS rk
+      FROM fp
+    ), keepers AS (
+      SELECT fp, source AS winner_source FROM groups WHERE rk = 1
+    )
+    SELECT k.winner_source, g.source AS loser_source,
+           COUNT(*) AS n_docs_dropped,
+           COUNT(DISTINCT g.fp) AS n_groups
+    FROM groups g JOIN keepers k ON g.fp = k.fp
+    WHERE g.rk > 1
+    GROUP BY k.winner_source, g.source
+    """,
+)
+def dedup_survivorship_matrix(spark, sf_dir):
+    """Cross-source dedup survivorship — the provenance matrix a corpus
+    builder reads after exact dedup: for every duplicate group, which
+    source's copy won the canonical election (most tokens, then lowest
+    doc_id — the dedup_removal_manifest election) and which sources
+    lost docs to it, as a (winner_source, loser_source) → dropped-docs
+    matrix.  The diagonal is intra-source duplication; off-diagonal
+    mass says one feed is re-serving another's content — the signal
+    that retires a redundant source from the crawl seed list.  One
+    fingerprint-keyed shuffle for the election windows, then the
+    keeper semi-join rides the SAME fp partitioning (no second
+    exchange), and the output is bounded by |sources|² regardless of
+    corpus size.  Planted structure makes every matrix cell
+    non-vacuous: a 'mirror' feed re-serves every 20th doc verbatim
+    (mirror loses — original source wins the election), every 60th
+    mirror copy is the doubled-text LONGER edition (mirror WINS, the
+    original source loses a doc), and every 35th doc has an
+    intra-source twin (diagonal mass)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    corpus = (
+        docs
+        .unionByName(docs.filter("doc_id % 20 = 0").selectExpr(
+            "doc_id + 5000000 AS doc_id", "'mirror' AS source", "text"))
+        .unionByName(docs.filter("doc_id % 60 = 0").selectExpr(
+            "doc_id + 6000000 AS doc_id", "'mirror' AS source",
+            "concat(text, ' ', text) AS text"))
+        .unionByName(docs.filter("doc_id % 35 = 0").selectExpr(
+            "doc_id + 7000000 AS doc_id", "source", "text"))
+    )
+    fp = corpus.select(
+        "doc_id", "source",
+        F.expr(
+            "md5(CASE WHEN doc_id >= 6000000 AND doc_id < 7000000"
+            " THEN substring(text, 1, (length(text) - 1) DIV 2)"
+            " ELSE text END)").alias("fp"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    wfp = W.partitionBy("fp")
+    groups = fp.select(
+        "doc_id", "source", "fp",
+        F.row_number().over(wfp.orderBy(F.desc("n_tok"), "doc_id"))
+        .alias("rk"),
+    )
+    keepers = groups.filter("rk = 1").select(
+        "fp", F.col("source").alias("winner_source"))
+    return (
+        groups.filter("rk > 1")
+        .join(keepers, "fp")
+        .groupBy("winner_source", F.col("source").alias("loser_source"))
+        .agg(F.count("*").alias("n_docs_dropped"),
+             F.countDistinct("fp").alias("n_groups"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
