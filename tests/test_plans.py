@@ -696,3 +696,46 @@ def test_range_partition_plan_no_global_window(spark):
     plan = plan_of(spark, "range_partition_plan", "simple")
     assert "ntile" not in plan.lower()
     assert "rangepartitioning" in plan, plan
+
+
+def test_phash_dihedral_canon_join_free_in_row(spark):
+    """Dihedral canonicalization must stay join-free: 8 branch-free
+    integer expressions in-row (union + two hash aggregations), never
+    a pair generator or a transform-table join."""
+    plan = plan_of(spark, "phash_dihedral_canon", "simple")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+    # one exchange for the canon groupBy, one for the histogram rollup
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_hll_register_audit_map_side_combine(spark):
+    """The sketch side must reduce to 64 longs per partition BEFORE the
+    exchange (partial max per register) — the whole point of HLL at
+    10^10 keys; only the exact-calibration column pays a distinct."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(spark, "hll_register_audit", "simple")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "partial_max" in plan, plan
+    # register rollup shuffles on the 64-value register key
+    assert "hashpartitioning(register" in plan, plan
+
+
+def test_warc_revisit_single_url_shuffle(spark):
+    """Capture sequencing and the lag() revisit flag must ride ONE
+    url-keyed exchange — the lag window reuses the row_number window's
+    partitioning."""
+    plan = plan_of(spark, "warc_revisit_records", "simple")
+    assert plan.count("hashpartitioning(url_id") == 1, plan
+    assert "Join" not in plan
+
+
+def test_compaction_plan_single_partition_window(spark):
+    """The prefix-sum placement runs over one partition-keyed window;
+    no global sort, no join."""
+    plan = plan_of(spark, "frontier_compaction_plan", "simple")
+    assert "hashpartitioning(partition" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "Join" not in plan

@@ -11408,6 +11408,469 @@ def dedup_survivorship_matrix(spark, sf_dir):
     )
 
 
+# --- dihedral phash canonicalization -----------------------------------
+# A 7x7 bit grid packed into the low 49 bits of an int64: every shift
+# stays strictly below bit 62, so no intermediate ever touches the sign
+# bit and Spark and DuckDB agree bit-for-bit without relying on either
+# engine's signed-shift semantics (same non-negative-int64 discipline as
+# pmi_collocations' ppm quantization).  The D4 permutations are written
+# ONCE as (new_bit <- old_bit) tables and rendered into each engine's
+# shift syntax from that single source of truth.
+
+_D4_GRID = 7
+
+
+def _d4_perms() -> dict[str, list[tuple[int, int]]]:
+    n = _D4_GRID
+    fns = {
+        "rot90": lambda r, c: (n - 1 - c, r),
+        "rot180": lambda r, c: (n - 1 - r, n - 1 - c),
+        "rot270": lambda r, c: (c, n - 1 - r),
+        "fliph": lambda r, c: (r, n - 1 - c),
+        "flipv": lambda r, c: (n - 1 - r, c),
+        "transpose": lambda r, c: (c, r),
+        "anti_transpose": lambda r, c: (n - 1 - c, n - 1 - r),
+    }
+    out = {}
+    for name, f in fns.items():
+        perm = []
+        for r in range(n):
+            for c in range(n):
+                sr, sc = f(r, c)
+                perm.append((r * n + c, sr * n + sc))
+        out[name] = perm
+    return out
+
+
+def _d4_expr(col: str, perm: list[tuple[int, int]], dialect: str) -> str:
+    if dialect == "duck":
+        terms = [f"((({col} >> {q}) & 1) << {p})" for p, q in perm]
+    else:
+        terms = [f"shiftleft((shiftright({col}, {q}) & 1), {p})"
+                 for p, q in perm]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _d4_canon(col: str, dialect: str) -> str:
+    perms = _d4_perms()
+    exprs = [col] + [_d4_expr(col, perms[k], dialect) for k in sorted(perms)]
+    return "least(" + ", ".join(exprs) + ")"
+
+
+_PHASH49 = "(doc_id * 2654435761) % 562949953421312"
+
+
+@query(
+    "phash_dihedral_canon",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_PHASH49} AS h FROM documents
+    ), corpus AS (
+      SELECT doc_id AS image_id, h, 'orig' AS variant FROM base
+      UNION ALL
+      SELECT doc_id + 20000000, {_d4_expr('h', _d4_perms()['rot90'], 'duck')},
+             'rot90' FROM base WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 30000000, {_d4_expr('h', _d4_perms()['fliph'], 'duck')},
+             'fliph' FROM base WHERE doc_id % 20 = 0
+    ), canon AS (
+      SELECT image_id, variant, {_d4_canon('h', 'duck')} AS canon_h
+      FROM corpus
+    ), cl AS (
+      SELECT canon_h, COUNT(*) AS cluster_size,
+             SUM(CASE WHEN variant <> 'orig' THEN 1 ELSE 0 END)
+               AS n_transformed
+      FROM canon GROUP BY canon_h
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_images,
+           CAST(SUM(n_transformed) AS BIGINT) AS n_transformed
+    FROM cl GROUP BY cluster_size
+    """,
+)
+def phash_dihedral_canon(spark, sf_dir):
+    """Rotation/mirror-canonical perceptual-hash dedup — the image
+    analog of text normalization before fingerprinting: a re-posted
+    image that was rotated 90° or mirrored has a phash whose BIT GRID
+    is a dihedral permutation of the original's, so exact-hash dedup
+    misses it.  Canonical form = least() over all eight D4 transforms
+    of the 7×7 bit grid; two images equal up to rotation/flip then
+    share one canonical key and the ordinary hash-groupBy dedup
+    (exact_dedup_groups) catches them with ZERO extra shuffles — the
+    canonicalization is 8 branch-free integer expressions evaluated
+    in-row inside whole-stage codegen, no UDF, no pair generation.
+    The permutations are emitted from one Python (new_bit ← old_bit)
+    table into both engines' shift syntax, so the oracle checks every
+    one of the 8×49 bit mappings bit-for-bit: any wrong bit splits a
+    planted cluster and moves the histogram.  Planted mass: every
+    10th image re-posted rotated 90°, every 20th also mirrored
+    (cluster sizes 2 and 3); hashes synthesized into the 49-bit space
+    (sign-safe in both engines — see _d4_expr).  Complements
+    image_phash_near_dups (hamming near-dup on unrotated hashes) and
+    image_tile_dedup (crop resistance); reference analog: payload
+    validation before store (reference Worker/vmControl fetch loop).
+    Output: cluster-size histogram + transformed-member accounting
+    (bounded by max cluster size, 3 here)."""
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PHASH49).alias("h"))
+    perms = _d4_perms()
+    corpus = (
+        base.selectExpr("doc_id AS image_id", "h", "'orig' AS variant")
+        .unionByName(base.filter("doc_id % 10 = 0").selectExpr(
+            "doc_id + 20000000 AS image_id",
+            f"{_d4_expr('h', perms['rot90'], 'spark')} AS h",
+            "'rot90' AS variant"))
+        .unionByName(base.filter("doc_id % 20 = 0").selectExpr(
+            "doc_id + 30000000 AS image_id",
+            f"{_d4_expr('h', perms['fliph'], 'spark')} AS h",
+            "'fliph' AS variant"))
+    )
+    canon = corpus.select(
+        "variant", F.expr(_d4_canon("h", "spark")).alias("canon_h"))
+    cl = canon.groupBy("canon_h").agg(
+        F.count("*").alias("cluster_size"),
+        F.sum(F.when(F.col("variant") != "orig", 1).otherwise(0))
+        .alias("n_transformed"),
+    )
+    return cl.groupBy(
+        F.col("cluster_size").cast("long").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_images"),
+        F.sum("n_transformed").cast("long").alias("n_transformed"),
+    )
+
+
+@query(
+    "crawl_wave_drain_plan",
+    """
+    WITH u AS (
+      SELECT o_orderkey AS url_id,
+             'h' || CAST(o_custkey % 40 AS VARCHAR) AS host,
+             4 + ((o_custkey % 40) % 5) * 4 AS budget,
+             (o_orderkey * 11) % 1000 AS priority
+      FROM orders
+    ), r AS (
+      SELECT url_id, host, budget, priority,
+             ROW_NUMBER() OVER (PARTITION BY host
+                                ORDER BY priority DESC, url_id) AS host_rank
+      FROM u
+    ), w AS (
+      SELECT ((host_rank - 1) // budget) + 1 AS wave, host FROM r
+    ), per_wave AS (
+      SELECT wave, COUNT(*) AS n_urls,
+             COUNT(DISTINCT host) AS n_active_hosts
+      FROM w GROUP BY wave
+    )
+    SELECT CAST(wave AS BIGINT) AS wave, n_urls, n_active_hosts,
+           CAST(SUM(n_urls) OVER () - SUM(n_urls) OVER (
+                  ORDER BY wave ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS remaining_after
+    FROM per_wave
+    """,
+)
+def crawl_wave_drain_plan(spark, sf_dir):
+    """Frontier drain projection — how many politeness epochs (waves)
+    until the current frontier empties, and how the per-epoch fetch
+    volume decays: each URL's wave is a closed form of its per-host
+    priority rank and that host's budget (wave = (rank-1) DIV budget
+    + 1 — epoch in which the scheduler's top-k quota reaches it,
+    exactly rank_per_host's selection rule iterated), so the whole
+    projection is ONE host-keyed window shuffle plus a rollup —
+    no epoch simulation, no loop.  The output (per-wave URL count,
+    hosts still active, frontier remaining after the wave) is what an
+    operator reads to see the long-tail drain: wave 1 fetches
+    Σ budgets, the tail waves are the few deep hosts — the capacity
+    signal that drives budget_apportionment re-allocation.  The
+    running-sum window runs over the bounded per-wave table (≤ max
+    queue/budget rows), never over URL rows.  Reference analog: the
+    dispatcher's repeating poll loop draining gen_todo
+    (reference Dispatch/main.py)."""
+    u = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("url_id"),
+        F.expr("'h' || CAST(o_custkey % 40 AS STRING)").alias("host"),
+        F.expr("4 + ((o_custkey % 40) % 5) * 4").alias("budget"),
+        F.expr("(o_orderkey * 11) % 1000").alias("priority"),
+    )
+    r = u.withColumn(
+        "host_rank",
+        F.row_number().over(
+            W.partitionBy("host").orderBy(F.desc("priority"), "url_id")),
+    )
+    per_wave = (
+        r.select(
+            F.expr("((host_rank - 1) DIV budget) + 1").alias("wave"),
+            "host")
+        .groupBy("wave")
+        .agg(F.count("*").alias("n_urls"),
+             F.countDistinct("host").alias("n_active_hosts"))
+    )
+    total = W.partitionBy()
+    cum = W.orderBy("wave").rowsBetween(W.unboundedPreceding, 0)
+    return per_wave.select(
+        F.col("wave").cast("long").alias("wave"),
+        "n_urls", "n_active_hosts",
+        (F.sum("n_urls").over(total) - F.sum("n_urls").over(cum))
+        .cast("long").alias("remaining_after"),
+    )
+
+
+@query(
+    "warc_revisit_records",
+    """
+    WITH cap AS (
+      SELECT event_id, event_id % 300 AS url_id,
+             1 + (event_id % 300) % 3 AS change_rate
+      FROM events
+    ), seq AS (
+      SELECT url_id, change_rate,
+             ROW_NUMBER() OVER (PARTITION BY url_id
+                                ORDER BY event_id) AS capture_seq
+      FROM cap
+    ), dig AS (
+      SELECT url_id, change_rate, capture_seq,
+             (capture_seq * change_rate) // 5 AS version
+      FROM seq
+    ), body AS (
+      SELECT url_id, change_rate, capture_seq, version,
+             1000 + (url_id * 7 + version * 13) % 9000 AS payload_bytes,
+             CASE WHEN version = LAG(version) OVER (
+                    PARTITION BY url_id ORDER BY capture_seq)
+                  THEN 1 ELSE 0 END AS is_revisit
+      FROM dig
+    )
+    SELECT change_rate, COUNT(*) AS n_captures,
+           CAST(SUM(is_revisit) AS BIGINT) AS n_revisits,
+           CAST(SUM(CASE WHEN is_revisit = 0 THEN payload_bytes
+                         ELSE 0 END) AS BIGINT) AS bytes_stored,
+           CAST(SUM(CASE WHEN is_revisit = 1 THEN payload_bytes
+                         ELSE 0 END) AS BIGINT) AS bytes_saved,
+           (1000 * CAST(SUM(is_revisit) AS BIGINT)) // COUNT(*)
+             AS revisit_permille
+    FROM body GROUP BY change_rate
+    """,
+)
+def warc_revisit_records(spark, sf_dir):
+    """WARC revisit-record accounting — archival storage dedup across
+    consecutive captures of the same URL (the Heritrix/WARC 1.1
+    `revisit` record type): when a recrawl's payload digest equals the
+    PREVIOUS capture's, the archive stores a ~0-byte revisit pointer
+    instead of the body.  Distinct from conditional_get_recrawl (that
+    prices the TRANSFER saved by 304s within one pass); this prices
+    the STORAGE saved across the capture history — the number a
+    10^3-epoch archive sizes its WARC volume roll-off by (reference
+    analog: the ~3-month live→history table roll-off,
+    reference README.md:108-115).  Content versions advance as a
+    deterministic integer staircase (version = seq·rate DIV 5) so
+    slow/medium/fast-changing URL classes carry planted run lengths,
+    and the revisit flag is a lag() comparison riding the SAME
+    url-keyed partitioning as the capture-sequence window — the whole
+    audit is one url-keyed shuffle plus a 3-row rollup, no self-join
+    of captures at any scale."""
+    cap = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("event_id % 300").alias("url_id"),
+        F.expr("1 + (event_id % 300) % 3").alias("change_rate"),
+    )
+    wu = W.partitionBy("url_id")
+    seq = cap.select(
+        "url_id", "change_rate",
+        F.row_number().over(wu.orderBy("event_id")).alias("capture_seq"),
+    )
+    dig = seq.withColumn(
+        "version", F.expr("(capture_seq * change_rate) DIV 5"))
+    body = dig.select(
+        "change_rate",
+        F.expr("1000 + (url_id * 7 + version * 13) % 9000")
+        .alias("payload_bytes"),
+        F.when(
+            F.col("version")
+            == F.lag("version").over(wu.orderBy("capture_seq")), 1)
+        .otherwise(0).alias("is_revisit"),
+    )
+    return body.groupBy("change_rate").agg(
+        F.count("*").alias("n_captures"),
+        F.sum("is_revisit").cast("long").alias("n_revisits"),
+        F.sum(F.when(F.col("is_revisit") == 0, F.col("payload_bytes"))
+              .otherwise(0)).cast("long").alias("bytes_stored"),
+        F.sum(F.when(F.col("is_revisit") == 1, F.col("payload_bytes"))
+              .otherwise(0)).cast("long").alias("bytes_saved"),
+        F.expr("(1000 * CAST(SUM(is_revisit) AS BIGINT)) DIV COUNT(*)")
+        .alias("revisit_permille"),
+    )
+
+
+@query(
+    "frontier_compaction_plan",
+    """
+    WITH files AS (
+      SELECT o_orderkey AS file_id,
+             'p' || CAST(o_custkey % 12 AS VARCHAR) AS partition,
+             64 + (o_orderkey * 17) % 8192 AS size_kb
+      FROM orders
+    ), placed AS (
+      SELECT partition, file_id, size_kb,
+             (SUM(size_kb) OVER (PARTITION BY partition ORDER BY file_id
+                                 ROWS UNBOUNDED PRECEDING)
+              - size_kb) // 65536 AS grp
+      FROM files
+    ), groups AS (
+      SELECT partition, grp, COUNT(*) AS n_files,
+             SUM(size_kb) AS group_kb
+      FROM placed GROUP BY partition, grp
+    )
+    SELECT partition,
+           CAST(SUM(n_files) AS BIGINT) AS n_input_files,
+           COUNT(*) AS n_output_files,
+           CAST(SUM(group_kb) AS BIGINT) AS total_kb,
+           CAST(MAX(group_kb) AS BIGINT) AS max_group_kb,
+           (1000 * (CAST(SUM(n_files) AS BIGINT) - COUNT(*)))
+             // CAST(SUM(n_files) AS BIGINT) AS reduction_permille
+    FROM groups GROUP BY partition
+    """,
+)
+def frontier_compaction_plan(spark, sf_dir):
+    """Small-file compaction sizing — the plan an Iceberg binPack
+    rewrite executes: per partition, concatenate the small-file queue
+    in file_id order and split at 64 MB boundaries, assigning each
+    file to the output group its starting byte offset falls in
+    ((prefix_sum − size) DIV target — exact, deterministic, no greedy
+    state machine to replicate).  The per-partition ledger (input
+    files, output files after compaction, total/max group size, and
+    the integer reduction permille) is what the catalog maintenance
+    loop (catalog.py compact_small_files) reads to decide which
+    partitions are worth rewriting — a 10^3-epoch crawl's fetch_log
+    accretes one file per partition per epoch, and this is the op
+    that keeps scan task counts bounded.  One partition-keyed window
+    (prefix sum) plus two rollups; output bounded by the partition
+    count.  Complements scan_files_accounting (who reads how much) and
+    bucket_count_sweep (write-side bucket sizing)."""
+    files = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("file_id"),
+        F.expr("'p' || CAST(o_custkey % 12 AS STRING)").alias("partition"),
+        F.expr("64 + (o_orderkey * 17) % 8192").alias("size_kb"),
+    )
+    wp = W.partitionBy("partition").orderBy("file_id").rowsBetween(
+        W.unboundedPreceding, 0)
+    placed = files.select(
+        "partition", "size_kb",
+        (F.sum("size_kb").over(wp) - F.col("size_kb"))
+        .cast("long").alias("start_kb"),
+    ).withColumn("grp", F.expr("start_kb DIV 65536"))
+    groups = placed.groupBy("partition", "grp").agg(
+        F.count("*").alias("n_files"), F.sum("size_kb").alias("group_kb"))
+    return groups.groupBy("partition").agg(
+        F.sum("n_files").cast("long").alias("n_input_files"),
+        F.count("*").alias("n_output_files"),
+        F.sum("group_kb").cast("long").alias("total_kb"),
+        F.max("group_kb").cast("long").alias("max_group_kb"),
+        F.expr("(1000 * (CAST(SUM(n_files) AS BIGINT) - COUNT(*)))"
+               " DIV CAST(SUM(n_files) AS BIGINT)")
+        .alias("reduction_permille"),
+    )
+
+
+# HLL rank of the 42-bit sub-hash: position of the first set bit from
+# the MSB (w >= 2^41 → 1, ..., w = 0 → 43), as a branch cascade both
+# engines evaluate identically — no float log2 anywhere.
+_HLL_RANK = ("CASE " + " ".join(
+    f"WHEN w >= {2 ** (41 - i)} THEN {i + 1}" for i in range(42))
+    + " ELSE 43 END")
+
+
+@query(
+    "hll_register_audit",
+    f"""
+    WITH reg AS (
+      SELECT ({_md5_hex48("CAST(o_custkey AS VARCHAR)")}) % 64 AS register,
+             ({_md5_hex48("CAST(o_custkey AS VARCHAR)")}) // 64 AS w
+      FROM orders
+    ), mx AS (
+      SELECT register, MAX({_HLL_RANK}) AS max_rank
+      FROM reg GROUP BY register
+    ), c AS (
+      SELECT MAX(max_rank) AS cmax,
+             CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+             CAST(SUM(max_rank) AS BIGINT) AS sum_max_rank
+      FROM mx
+    ), s AS (
+      SELECT c.cmax, c.n_registers_hit, c.sum_max_rank,
+             CAST(SUM(CAST(1 AS BIGINT) << (c.cmax - mx.max_rank))
+                  AS BIGINT)
+               + (64 - c.n_registers_hit)
+                 * (CAST(1 AS BIGINT) << c.cmax) AS s_total
+      FROM mx CROSS JOIN c
+      GROUP BY c.cmax, c.n_registers_hit, c.sum_max_rank
+    ), ex AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders
+    )
+    SELECT CAST(64 AS BIGINT) AS m, s.n_registers_hit, s.sum_max_rank,
+           CAST(s.cmax AS BIGINT) AS max_register_rank,
+           (709 * 4096 * (CAST(1 AS BIGINT) << s.cmax))
+             // (1000 * s.s_total) AS est_distinct,
+           ex.exact_distinct,
+           abs((709 * 4096 * (CAST(1 AS BIGINT) << s.cmax))
+               // (1000 * s.s_total) - ex.exact_distinct) * 10000
+             // ex.exact_distinct AS err_bp
+    FROM s CROSS JOIN ex
+    """,
+)
+def hll_register_audit(spark, sf_dir):
+    """HyperLogLog cardinality sketch, integer-exact end to end
+    (Flajolet et al. 2007) — the third distinct-count family beside
+    kmv_distinct_sketch (order statistics) and bloom_fp_calibration
+    (membership): hash each key to 48 uniform bits (_md5_hex48, the
+    shared ascii/CASE arithmetic), low 6 bits pick one of m=64
+    registers, the rank of the remaining 42 bits (first-set-bit
+    position, a branch cascade — no float log2) feeds a per-register
+    MAX.  The scale story is the whole point: the sketch path never
+    shuffles raw rows — MAX per register is map-side combinable, so
+    10^10 keys reduce to 64 longs per partition before the exchange —
+    while the exact COUNT(DISTINCT) beside it (the calibration
+    column) is the one paying a full distinct shuffle.  Even the
+    harmonic-mean estimate is integer: Σ2^-M_j is cross-multiplied by
+    2^cmax via bit shifts (numerator 709·2^12·2^cmax stays in int64
+    through cmax ≤ 40 ≈ 7·10^13 distinct — past the frontier), α_64 =
+    0.709 in millis, raw estimate with no small/large-range
+    correction — the audit gates the REGISTER CONSTRUCTION, not
+    estimator tuning (at frontier scale n >> 5m/2 and the raw branch
+    is the live one; empty registers still enter the harmonic sum at
+    rank 0 as the algorithm specifies).  err_bp value-gates every bit
+    of the construction: one wrong rank moves the estimate."""
+    h = _md5_hex48("CAST(o_custkey AS STRING)")
+    reg = load(spark, sf_dir, "orders").selectExpr(
+        f"({h}) % 64 AS register", f"({h}) DIV 64 AS w")
+    mx = reg.groupBy("register").agg(
+        F.expr(f"MAX({_HLL_RANK})").alias("max_rank"))
+    c = mx.agg(
+        F.max("max_rank").alias("cmax"),
+        F.count("*").cast("long").alias("n_registers_hit"),
+        F.sum("max_rank").cast("long").alias("sum_max_rank"))
+    s = (
+        mx.crossJoin(F.broadcast(c))
+        .groupBy("cmax", "n_registers_hit", "sum_max_rank")
+        .agg(F.expr(
+            "CAST(SUM(shiftleft(CAST(1 AS BIGINT),"
+            " CAST(cmax - max_rank AS INT))) AS BIGINT)"
+            " + (64 - n_registers_hit)"
+            " * shiftleft(CAST(1 AS BIGINT), CAST(cmax AS INT))")
+            .alias("s_total"))
+    )
+    ex = load(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct"))
+    est = ("(709 * 4096 * shiftleft(CAST(1 AS BIGINT),"
+           " CAST(cmax AS INT))) DIV (1000 * s_total)")
+    return s.crossJoin(F.broadcast(ex)).selectExpr(
+        "CAST(64 AS BIGINT) AS m", "n_registers_hit", "sum_max_rank",
+        "CAST(cmax AS BIGINT) AS max_register_rank",
+        f"{est} AS est_distinct",
+        "exact_distinct",
+        f"abs({est} - exact_distinct) * 10000 DIV exact_distinct"
+        " AS err_bp",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #
