@@ -498,3 +498,34 @@ def test_image_blur_audit_separates_planted(spark):
         else:
             assert r["lap_var"] >= 5000.0, (r["image_id"], r["lap_var"])
     assert n_blur == 30
+
+
+def test_format_sniff_audit_recovers_planted_labels(spark):
+    """The sniff gate's three invariants, checked against the fixture's
+    own parameterization: bytes-derived fmt equals the true codec for
+    every row (magic + code byte), the mismatch flag reproduces the
+    planted ~1/4 mislabel rule exactly, and both header-dim parses
+    (little-endian uint32 for raw/lossy, 13-byte ASCII for PPM) recover
+    the generation dims bit-exact."""
+    import hashlib
+
+    from ycrawl_spark.queries import QUERIES
+    from ycrawl_spark.synth import _gradient_params
+
+    rows = QUERIES["format_sniff_audit"](spark, "unused").collect()
+    assert len(rows) == 96
+    n_mismatch = 0
+    for r in rows:
+        o = [ord(ch) for ch in hashlib.md5(r.image_id.encode()).hexdigest()]
+        true_fmt = codecs.FORMATS[o[6] % 3]
+        assert r.sniffed == true_fmt
+        assert r.is_mismatch == int(o[8] % 4 == 0)
+        n_mismatch += r.is_mismatch
+        w, h, *_ = _gradient_params(r.image_id)
+        assert (r.hdr_w, r.hdr_h) == (w, h)
+        if true_fmt == "ppm":
+            expected = 9 + len(str(w)) + len(str(h)) + 3 * w * h
+        else:
+            expected = 13 + 3 * w * h
+        assert r.n_bytes == expected
+    assert 0 < n_mismatch < 96  # both branches populated

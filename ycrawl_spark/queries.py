@@ -11871,6 +11871,100 @@ def hll_register_audit(spark, sf_dir):
     )
 
 
+@query(
+    "format_sniff_audit",
+    """
+    WITH ids AS (
+      SELECT 'sniff-' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+             md5('sniff-' || lpad(CAST(i AS VARCHAR), 4, '0')) AS hh
+      FROM range(96) t(i)
+    ), par AS (
+      SELECT image_id,
+             24 + (ascii(substr(hh,1,1))*256 + ascii(substr(hh,2,1))) % 41 AS w,
+             24 + (ascii(substr(hh,3,1))*256 + ascii(substr(hh,4,1))) % 37 AS h,
+             CASE ascii(substr(hh,7,1)) % 3 WHEN 0 THEN 'raw'
+                  WHEN 1 THEN 'ppm' ELSE 'lossy' END AS fmt,
+             ascii(substr(hh,9,1)) % 4 = 0 AS mislabeled
+      FROM ids
+    )
+    SELECT image_id,
+           CASE WHEN mislabeled THEN
+                CASE fmt WHEN 'raw' THEN 'ppm'
+                         WHEN 'ppm' THEN 'lossy' ELSE 'raw' END
+                ELSE fmt END AS declared,
+           fmt AS sniffed,
+           CAST(mislabeled AS INT) AS is_mismatch,
+           CAST(CASE WHEN fmt = 'ppm'
+                     THEN 9 + length(CAST(w AS VARCHAR))
+                          + length(CAST(h AS VARCHAR)) + 3*w*h
+                     ELSE 13 + 3*w*h END AS BIGINT) AS n_bytes,
+           CAST(w AS INT) AS hdr_w, CAST(h AS INT) AS hdr_h
+    FROM par
+    """,
+)
+def format_sniff_audit(spark, sf_dir):
+    """Magic-byte container sniffing VALUE-GATED — the audit every
+    crawler runs because Content-Type headers lie: 96 ramp images
+    cycling ALL THREE real container formats (synth.sniff_images_df)
+    carry a deterministically planted mislabel on ~1/4 of their
+    DECLARED formats, and the engine re-identifies each payload from
+    its actual bytes — PPM by the ``P6`` magic, the YCIM family by the
+    4-byte magic + format-code byte — entirely in JVM expressions
+    (``hex(substring(bytes, ...))``), no Python in the sniff path.
+    The gate is three-deep per row, all closed-form-predicted by the
+    DuckDB oracle without a decoder: (1) sniffed-vs-declared mismatch
+    flags reproduce the planted mislabels exactly, (2) the actual
+    ``octet_length(bytes)`` equals the format's header+payload
+    arithmetic, (3) the header-declared dimensions parse back bit-exact
+    — little-endian uint32 fields for raw/lossy (per-byte ``conv(hex)``
+    reconstruction), ASCII text fields for PPM (fixture dims are always
+    two digits, so the header is exactly 13 bytes — documented
+    invariant of ``_gradient_params``: w ∈ [24,64], h ∈ [24,60]).
+    Reference analog: the vendor dispatch trusts the URL token
+    (/root/reference/DataProcessor/main.py:87-99); this is the
+    distrust pass. Scale shape: one mapInPandas fixture scan + in-row
+    JVM projections — scan-shaped at any corpus size, and on the real
+    table the sniff touches only the first 13 bytes of each payload."""
+    from . import synth
+
+    df = synth.sniff_images_df(spark, 96).withColumn(
+        "hh", F.md5(F.col("image_id")))
+    sniffed = (
+        F.when(F.expr("hex(substring(bytes, 1, 2))") == "5036", "ppm")
+        .when(F.expr("hex(substring(bytes, 1, 5))") == "5943494D00", "raw")
+        .when(F.expr("hex(substring(bytes, 1, 5))") == "5943494D02", "lossy")
+        .otherwise("unknown"))
+    declared = F.when(
+        F.expr("ascii(substr(hh, 9, 1)) % 4 = 0"),
+        F.expr("CASE fmt WHEN 'raw' THEN 'ppm'"
+               " WHEN 'ppm' THEN 'lossy' ELSE 'raw' END"),
+    ).otherwise(F.col("fmt"))
+
+    def le32(pos: int) -> str:
+        return " + ".join(
+            f"{256 ** k} * CAST(conv(hex(substring(bytes, {pos + k}, 1)),"
+            " 16, 10) AS INT)" for k in range(4))
+
+    d = df.select(
+        "image_id",
+        declared.alias("declared"),
+        sniffed.alias("sniffed"),
+        F.expr("octet_length(bytes)").cast("long").alias("n_bytes"),
+        F.when(sniffed == "ppm",
+               F.expr("CAST(decode(substring(bytes, 4, 2), 'UTF-8') AS INT)"))
+        .otherwise(F.expr(le32(6))).cast("int").alias("hdr_w"),
+        F.when(sniffed == "ppm",
+               F.expr("CAST(decode(substring(bytes, 7, 2), 'UTF-8') AS INT)"))
+        .otherwise(F.expr(le32(10))).cast("int").alias("hdr_h"),
+    )
+    return d.select(
+        "image_id", "declared", "sniffed",
+        (F.col("declared") != F.col("sniffed")).cast("int")
+        .alias("is_mismatch"),
+        "n_bytes", "hdr_w", "hdr_h",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #

@@ -661,3 +661,36 @@ def bordered_gradient_images_df(spark, n: int):
 
     return spark.range(0, n, numPartitions=8).mapInPandas(
         gen, schema=GRADIENT_IMAGES_SCHEMA)
+
+
+def sniff_images_df(spark, n: int):
+    """``n`` ramp images (ids ``sniff-0000``..) cycling ALL THREE real
+    container formats — md5 char 7 picks raw/ppm/lossy — for the
+    magic-byte sniffing gate (``format_sniff_audit``). Pixel exactness
+    is irrelevant to container identification, so unlike
+    ``gradient_images_df`` the lossy codec participates; every header
+    field (magic, fmt code byte, little-endian dims, ASCII PPM dims)
+    and the total octet length are closed-form functions of
+    ``_gradient_params`` that a SQL oracle predicts without touching
+    the payload. Reference analog: the vendor dispatch on the fetched
+    envelope (/root/reference/DataProcessor/main.py:87-99) trusts the
+    URL token; this fixture feeds the audit that distrusts it."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                image_id = f"sniff-{int(i):04d}"
+                w, h, a, bb, c, _ = _gradient_params(image_id)
+                o = [ord(ch) for ch in
+                     hashlib.md5(image_id.encode()).hexdigest()]
+                fmt = codecs.FORMATS[o[6] % 3]
+                px = _gradient_pixels(w, h, a, bb, c)
+                rows.append({"image_id": image_id,
+                             "bytes": codecs.encode(px, fmt),
+                             "w": w, "h": h, "fmt": fmt})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=8).mapInPandas(
+        gen, schema=GRADIENT_IMAGES_SCHEMA)
