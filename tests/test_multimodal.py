@@ -529,3 +529,33 @@ def test_format_sniff_audit_recovers_planted_labels(spark):
             expected = 13 + 3 * w * h
         assert r.n_bytes == expected
     assert 0 < n_mismatch < 96  # both branches populated
+
+
+def test_image_chroma_stats_gray_is_zero_and_color_is_not(spark):
+    """Negative control the oracle can't provide: on the GRAY ramp
+    fixture (equal channels) every opponent-axis moment must be
+    exactly zero, while the chroma fixture's md5 offsets make at
+    least one axis non-zero for every image whose offsets differ."""
+    import hashlib
+
+    from ycrawl_spark import multimodal, synth
+
+    gray = multimodal.image_chroma_stats(
+        synth.gradient_images_df(spark, 12)).collect()
+    assert len(gray) == 12
+    for r in gray:
+        assert (r.sum_abs_rg, r.sum_sq_rg, r.sum_abs_yb2, r.sum_sq_yb2) \
+            == (0, 0, 0, 0), r.image_id
+
+    color = multimodal.image_chroma_stats(
+        synth.chroma_gradient_images_df(spark, 12)).collect()
+    assert len(color) == 12
+    for r in color:
+        o = [ord(ch) for ch in hashlib.md5(r.image_id.encode()).hexdigest()]
+        dr, dg, db = o[7] % 97, o[8] % 97, o[9] % 97
+        if dr == dg == db:
+            assert r.sum_abs_rg == 0 and r.sum_abs_yb2 == 0
+        else:
+            assert r.sum_abs_rg > 0 or r.sum_abs_yb2 > 0, r.image_id
+        # moments are internally consistent: Cauchy-Schwarz lower bound
+        assert r.sum_sq_rg * r.n_px >= r.sum_abs_rg ** 2 // r.n_px

@@ -506,3 +506,41 @@ def audio_energy_windows(audio: DataFrame, win: int = 1024) -> DataFrame:
     return audio.select("clip_id", "bytes").mapInPandas(
         run, AUDIO_ENERGY_SCHEMA
     )
+
+
+CHROMA_SCHEMA = ("image_id string, n_px long, sum_abs_rg long, "
+                 "sum_sq_rg long, sum_abs_yb2 long, sum_sq_yb2 long")
+
+
+def image_chroma_stats(images: DataFrame) -> DataFrame:
+    """Per-image opponent-axis chroma moments — the integer-exact core
+    of a Hasler-Süsstrunk colorfulness gate (the standard "is this a
+    gray scan / tinted error page?" QC next to exposure and blur):
+    decode → per-pixel ``rg = R − G`` and ``yb2 = R + G − 2B`` (the
+    yellow-blue axis cross-multiplied by 2 so it stays integral) →
+    Σ|rg|, Σrg², Σ|yb2|, Σyb2² as int64 (worst case 255²·2²·n_px ≪
+    2⁶³ for any real image).  The float H-S score is a monotone
+    function of these moments, so thresholding downstream is a pure
+    JVM expression; keeping the moments integral is what lets a SQL
+    oracle replicate the whole decode path bit-exact
+    (``image_chroma_ramp_audit``).  One vectorized numpy pass per
+    image inside an Arrow batch — no per-pixel Python; output is one
+    row per image at any corpus size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for iid, raw in zip(b["image_id"], b["bytes"]):
+                px = codecs.decode(bytes(raw)).astype(np.int64)
+                r, g, bl = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+                rg = r - g
+                yb2 = r + g - 2 * bl
+                out.append((iid, int(rg.size),
+                            int(np.abs(rg).sum()), int((rg * rg).sum()),
+                            int(np.abs(yb2).sum()), int((yb2 * yb2).sum())))
+            yield pd.DataFrame(
+                out, columns=["image_id", "n_px", "sum_abs_rg",
+                              "sum_sq_rg", "sum_abs_yb2", "sum_sq_yb2"])
+
+    return images.select("image_id", "bytes").mapInPandas(
+        run, CHROMA_SCHEMA)

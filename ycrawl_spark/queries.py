@@ -11965,6 +11965,176 @@ def format_sniff_audit(spark, sf_dir):
     )
 
 
+@query(
+    "image_chroma_ramp_audit",
+    """
+    WITH ids AS (
+      SELECT 'chro-' || lpad(CAST(i AS VARCHAR), 4, '0') AS image_id,
+             md5('chro-' || lpad(CAST(i AS VARCHAR), 4, '0')) AS hh
+      FROM range(48) t(i)
+    ), par AS (
+      SELECT image_id,
+             24 + (ascii(substr(hh,1,1))*256 + ascii(substr(hh,2,1))) % 41 AS w,
+             24 + (ascii(substr(hh,3,1))*256 + ascii(substr(hh,4,1))) % 37 AS h,
+             3 + ascii(substr(hh,5,1)) % 5 AS a,
+             7 + ascii(substr(hh,6,1)) % 5 AS b,
+             (ascii(substr(hh,1,1)) + 13*ascii(substr(hh,5,1))) % 256 AS c,
+             ascii(substr(hh,8,1)) % 97 AS dr,
+             ascii(substr(hh,9,1)) % 97 AS dg,
+             ascii(substr(hh,10,1)) % 97 AS db
+      FROM ids
+    ), ys AS (
+      SELECT image_id, w, a, b, c, dr, dg, db, unnest(range(h)) AS y FROM par
+    ), pxl AS (
+      SELECT image_id,
+             (a*x + b*y + c + dr) % 256 AS vr,
+             (a*x + b*y + c + dg) % 256 AS vg,
+             (a*x + b*y + c + db) % 256 AS vb
+      FROM (SELECT *, unnest(range(w)) AS x FROM ys)
+    ), opp AS (
+      SELECT image_id, vr - vg AS rg, vr + vg - 2*vb AS yb2 FROM pxl
+    ), mom AS (
+      SELECT image_id,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(ABS(rg)) AS BIGINT) AS sum_abs_rg,
+             CAST(SUM(rg*rg) AS BIGINT) AS sum_sq_rg,
+             CAST(SUM(ABS(yb2)) AS BIGINT) AS sum_abs_yb2,
+             CAST(SUM(yb2*yb2) AS BIGINT) AS sum_sq_yb2
+      FROM opp GROUP BY image_id
+    )
+    SELECT image_id, n_px, sum_abs_rg, sum_sq_rg, sum_abs_yb2, sum_sq_yb2,
+           CAST((1000 * (sum_abs_rg + sum_abs_yb2)) // (510 * n_px)
+                AS BIGINT) AS chroma_permille
+    FROM mom
+    """,
+)
+def image_chroma_ramp_audit(spark, sf_dir):
+    """Colorfulness QC VALUE-GATED — the third leg of the image-QC
+    triad next to exposure (histogram) and blur (Laplacian): 48 COLOR
+    ramp images whose three channels are ramps with md5-derived
+    per-channel offsets (synth.chroma_gradient_images_df) run through
+    the production decode → opponent-axis moment stage
+    (``multimodal.image_chroma_stats``: rg = R−G, yb2 = R+G−2B,
+    Σ|·| and Σ·² as int64), and every moment is checked against
+    DuckDB's per-pixel three-channel regeneration.  The mod-256 wrap
+    makes the opponent values piecewise across each image — a decoder
+    shortcutting to "offset delta is constant" fails the gate; only
+    bit-exact per-pixel decode passes.  ``chroma_permille`` is the
+    downstream gate signal (opponent mass in permille of its 510/px
+    ceiling), cross-multiplied integer DIV on both engines — the
+    Hasler-Süsstrunk score is a monotone map of these moments, so a
+    threshold on it IS a threshold here, with zero float divergence
+    risk.  Reference analog: the vendor payload validators
+    (/root/reference/DataProcessor/main.py:87-99) check shape only;
+    this is the content-quality gate a 100-TB image corpus needs.
+    Scale shape: one Arrow decode scan, one row per image out —
+    scan-shaped at any corpus size."""
+    from . import multimodal, synth
+
+    mom = multimodal.image_chroma_stats(
+        synth.chroma_gradient_images_df(spark, 48))
+    return mom.select(
+        "image_id", "n_px", "sum_abs_rg", "sum_sq_rg", "sum_abs_yb2",
+        "sum_sq_yb2",
+        F.expr("CAST((1000 * (sum_abs_rg + sum_abs_yb2)) DIV (510 * n_px)"
+               " AS BIGINT)").alias("chroma_permille"),
+    )
+
+
+@query(
+    "trustrank_seed_propagation",
+    f"""
+    WITH {_KATZ_EDGES},
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT host, CAST(CASE WHEN host % 7 = 0 THEN 1000000 ELSE 0 END
+                AS BIGINT) AS r FROM n),
+    r1 AS (SELECT n.host, CAST(
+                 CASE WHEN n.host % 7 = 0 THEN 150000 ELSE 0 END +
+                 (17 * COALESCE(CAST(SUM(p.r // d.outdeg) AS BIGINT), 0)) // 20
+                 AS BIGINT) AS r
+           FROM n LEFT JOIN e ON e.dst = n.host
+                  LEFT JOIN r0 p ON p.host = e.src
+                  LEFT JOIN deg d ON d.src = e.src
+           GROUP BY n.host),
+    r2 AS (SELECT n.host, CAST(
+                 CASE WHEN n.host % 7 = 0 THEN 150000 ELSE 0 END +
+                 (17 * COALESCE(CAST(SUM(p.r // d.outdeg) AS BIGINT), 0)) // 20
+                 AS BIGINT) AS r
+           FROM n LEFT JOIN e ON e.dst = n.host
+                  LEFT JOIN r1 p ON p.host = e.src
+                  LEFT JOIN deg d ON d.src = e.src
+           GROUP BY n.host),
+    r3 AS (SELECT n.host, CAST(
+                 CASE WHEN n.host % 7 = 0 THEN 150000 ELSE 0 END +
+                 (17 * COALESCE(CAST(SUM(p.r // d.outdeg) AS BIGINT), 0)) // 20
+                 AS BIGINT) AS r
+           FROM n LEFT JOIN e ON e.dst = n.host
+                  LEFT JOIN r2 p ON p.host = e.src
+                  LEFT JOIN deg d ON d.src = e.src
+           GROUP BY n.host)
+    SELECT host, CAST(CASE WHEN host % 7 = 0 THEN 1 ELSE 0 END AS INT)
+               AS is_seed,
+           r AS tr3
+    FROM r3
+    """,
+)
+def trustrank_seed_propagation(spark, sf_dir):
+    """TrustRank — the anti-spam companion to pagerank_host_priority
+    (Gyöngyi et al., VLDB 2004, public algorithm): identical damped
+    power iteration, but teleport mass lands ONLY on a trusted seed
+    whitelist (here the deterministic ``host % 7 = 0`` — in production
+    a curated allowlist joined as a broadcast dim), so spam farms with
+    no inlink path from a seed decay to zero trust instead of
+    harvesting uniform teleport like vanilla PageRank.  Same
+    scaled-integer contract as the PageRank/Katz ops: ranks carry a
+    10^6 scale, each round is
+    r'(h) = (seed(h) ? 150000 : 0) + (17 · Σ (r(s) div outdeg(s))) div 20,
+    BIGINT floor division end to end — bit-identical on any
+    partitioning, which is what makes a 3-round unrolled-CTE oracle
+    possible.  Per round one edges⋈outdeg⋈ranks equi-join + one
+    groupBy(dst) partial-agg + one left join back to nodes,
+    localCheckpoint-cut lineage — O(k) shuffles, no driver-side graph
+    state, O(hosts) rows only (never O(URLs)).  Downstream the
+    crawl-scheduler consumes tr3 exactly like pr3/katz3: a
+    broadcast-sized host-priority dim.  Reference parity:
+    /root/reference/gen.py's static config-order frontier, upgraded
+    with trust-biased authority ordering."""
+    edges = _host_link_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    seed_r = F.when(F.col("host") % 7 == 0, F.lit(1_000_000)).otherwise(
+        F.lit(0))
+    teleport = F.when(F.col("host") % 7 == 0, F.lit(150_000)).otherwise(
+        F.lit(0))
+    r = nodes.select("host", seed_r.cast("long").alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(deg, "src")
+            .join(r.withColumnRenamed("host", "src"), "src")
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("c").alias("in_c"))
+        )
+        r = (
+            nodes.join(contrib, "host", "left")
+            .select(
+                "host",
+                (teleport
+                 + F.expr("(17 * coalesce(in_c, CAST(0 AS BIGINT))) div 20"))
+                .cast("long").alias("r"))
+            .localCheckpoint(eager=False)
+        )
+    return r.select(
+        "host",
+        (F.col("host") % 7 == 0).cast("int").alias("is_seed"),
+        F.col("r").alias("tr3"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate window.
 #

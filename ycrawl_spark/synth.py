@@ -694,3 +694,41 @@ def sniff_images_df(spark, n: int):
 
     return spark.range(0, n, numPartitions=8).mapInPandas(
         gen, schema=GRADIENT_IMAGES_SCHEMA)
+
+
+def chroma_gradient_images_df(spark, n: int):
+    """``n`` COLOR ramp images (ids ``chro-0000``..): each channel is
+    its own analytic ramp ``v_ch(y, x) = (a·x + b·y + c + d_ch) mod
+    256`` with per-channel offsets ``d_R/d_G/d_B = md5 chars 8/9/10
+    mod 97`` on top of the shared ``_gradient_params`` geometry —
+    the only gradient fixture whose channels DIFFER, which is what the
+    chroma/colorfulness QC gate (``image_chroma_ramp_audit``) needs:
+    on the gray fixtures every opponent-axis statistic is identically
+    zero.  The mod-256 wrap makes the opponent values (R−G, R+G−2B)
+    piecewise — NOT constant per image — so the decoder cannot pass by
+    shortcutting to the offset deltas; the oracle regenerates every
+    pixel per channel instead.  Lossless formats only (raw/ppm via md5
+    char 7 parity), so decoded pixels are bit-exact."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in b["id"]:
+                image_id = f"chro-{int(i):04d}"
+                w, h, a, bb, c, fmt = _gradient_params(image_id)
+                o = [ord(ch) for ch in
+                     hashlib.md5(image_id.encode()).hexdigest()]
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                base = a * x[None, :] + bb * y[:, None] + c
+                px = np.stack(
+                    [((base + o[7 + ch] % 97) % 256).astype(np.uint8)
+                     for ch in range(3)], axis=2)
+                rows.append({"image_id": image_id,
+                             "bytes": codecs.encode(px, fmt),
+                             "w": w, "h": h, "fmt": fmt})
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, numPartitions=8).mapInPandas(
+        gen, schema=GRADIENT_IMAGES_SCHEMA)
