@@ -401,11 +401,14 @@ def test_boilerplate_removal_no_pair_blowup(spark):
 
 
 def test_pagerank_rounds_no_nested_loop(spark):
-    """Each PageRank round is an equi-join chain + partial agg, same
-    contract as Katz/BFS — a theta join would square every iteration."""
-    plan = plan_of(spark, "pagerank_host_priority")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    """Each PageRank/TrustRank round is an equi-join chain + partial
+    agg, same contract as Katz/BFS — a theta join would square every
+    iteration. TrustRank shares the loop body; its seed-conditional
+    teleport must stay a projection expression, never a join."""
+    for name in ("pagerank_host_priority", "trustrank_seed_propagation"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_anchor_text_single_tokenize_scan(spark):
