@@ -482,3 +482,100 @@ def test_remove_orphan_files_sweeps_uncommitted_dirs(spark, tmp_path):
     assert not os.path.exists(orphan)
     assert len(t.snapshots()) == 1  # manifest untouched
     assert [r["id"] for r in t.read(spark).collect()] == [1]
+
+
+def test_branch_staging_is_invisible_to_main(spark, tmp_path):
+    """Write-audit-publish: a staged branch append is readable on the
+    branch (fork data + staged rows) but invisible to main reads,
+    scans, and resume numbering until published."""
+    t = Catalog(str(tmp_path)).table("pairs")
+    t.append(spark.createDataFrame([(1, "a")], "id int, v string"), epoch=1)
+    fork = t.create_branch("audit")
+    assert fork == t.snapshots()[0].snapshot_id
+
+    t.write_branch("audit", spark.createDataFrame(
+        [(2, "b")], "id int, v string"), epoch=2)
+
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+    assert {r["id"] for r in t.scan(spark).collect()} == {1}
+    assert t.latest_epoch() == 1  # staged epoch must not shift resume
+    assert {r["id"] for r in t.read(spark, branch="audit").collect()} == {1, 2}
+
+
+def test_branch_publish_fast_forwards_main(spark, tmp_path):
+    t = Catalog(str(tmp_path)).table("pairs")
+    t.append(spark.createDataFrame([(1,)], "id int"), epoch=1)
+    t.create_branch("audit")
+    s2 = t.write_branch("audit", spark.createDataFrame([(2,)], "id int"),
+                        epoch=2)
+    s3 = t.write_branch("audit", spark.createDataFrame([(3,)], "id int"),
+                        epoch=3)
+
+    assert t.publish_branch("audit") == [s2, s3]
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3}
+    assert t.latest_epoch() == 3
+    assert t.branches() == {}
+    # published snapshots time-travel like any main commit
+    assert {r["id"] for r in t.read(spark, as_of=s2).collect()} == {1, 2}
+
+
+def test_branch_publish_conflict_when_main_advanced(spark, tmp_path):
+    """Fast-forward requires main to still sit at the fork: a main
+    commit landed after the fork -> publish raises, branch stays
+    readable for re-staging, main is untouched."""
+    t = Catalog(str(tmp_path)).table("pairs")
+    t.append(spark.createDataFrame([(1,)], "id int"), epoch=1)
+    t.create_branch("audit")
+    t.write_branch("audit", spark.createDataFrame([(2,)], "id int"), epoch=2)
+    t.append(spark.createDataFrame([(9,)], "id int"), epoch=2)  # main moves
+
+    try:
+        t.publish_branch("audit")
+        raise AssertionError("publish past a moved main must conflict")
+    except ValueError:
+        pass
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 9}
+    # branch read still shows fork + staged (not main's later commit)
+    assert {r["id"] for r in t.read(spark, branch="audit").collect()} == {1, 2}
+
+
+def test_branch_drop_discards_staged_data(spark, tmp_path):
+    import os
+
+    t = Catalog(str(tmp_path)).table("pairs")
+    t.append(spark.createDataFrame([(1,)], "id int"), epoch=1)
+    t.create_branch("audit")
+    sid = t.write_branch("audit", spark.createDataFrame([(2,)], "id int"))
+    staged_dirs = [p for s in t.snapshots()
+                   if s.snapshot_id == sid for p in s.files]
+
+    assert t.drop_branch("audit") == [sid]
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+    assert not any(os.path.exists(d) for d in staged_dirs)
+    assert t.branches() == {}
+    try:
+        t.read(spark, branch="audit")
+        raise AssertionError("dropped branch must be unreadable")
+    except ValueError:
+        pass
+
+
+def test_branch_protects_fork_lineage_from_expiry_and_compaction(spark, tmp_path):
+    """Maintenance interplay: while a branch is staged, expiry never
+    drops its fork ancestry or staged snapshots, and compaction defers
+    entirely; after publish both work again."""
+    t = Catalog(str(tmp_path)).table("log")
+    for e in range(1, 5):
+        t.append(spark.createDataFrame([(e,)], "id int"), epoch=e)
+    t.create_branch("audit")
+    t.write_branch("audit", spark.createDataFrame([(5,)], "id int"), epoch=5)
+
+    assert t.expire_snapshots(keep_last=1) == []  # all protected by fork
+    assert t.compact(spark) is None  # deferred while staged
+    assert {r["id"] for r in t.read(spark, branch="audit").collect()} == {
+        1, 2, 3, 4, 5}
+
+    t.publish_branch("audit")
+    assert len(t.expire_snapshots(keep_last=2)) == 3
+    assert {r["id"] for r in t.read(spark).collect()} == {4, 5}
+    assert t.latest_epoch() == 5

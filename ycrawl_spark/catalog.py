@@ -71,6 +71,151 @@ class Table:
             finally:
                 fcntl.flock(f, fcntl.LOCK_UN)
 
+    # -- branch refs (Iceberg write-audit-publish). A branch is a named
+    # ref with a FORK POINT (the main-head snapshot id at creation).
+    # Branch snapshots live in the same manifest tagged
+    # ``meta["branch"]`` and are invisible to main reads until
+    # ``publish_branch`` fast-forwards them; branch reads see the main
+    # lineage up to the fork plus the branch's own commits.
+
+    @property
+    def _refs_file(self) -> str:
+        return os.path.join(self.path, "refs.json")
+
+    def branches(self) -> dict:
+        if not os.path.exists(self._refs_file):
+            return {}
+        with open(self._refs_file) as f:
+            return json.load(f)
+
+    def _commit_refs(self, refs: dict) -> None:
+        tmp = self._refs_file + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_file)
+
+    @staticmethod
+    def _main_snaps(snaps: list[Snapshot]) -> list[Snapshot]:
+        return [s for s in snaps if not s.meta.get("branch")]
+
+    def _visible_snaps(self, branch: str | None) -> list[Snapshot]:
+        """Manifest-ordered snapshots a read on ``branch`` sees: main
+        lineage only (branch=None), or main-up-to-fork plus the
+        branch's staged commits."""
+        snaps = self.snapshots()
+        if branch is None:
+            return self._main_snaps(snaps)
+        refs = self.branches()
+        if branch not in refs:
+            raise ValueError(f"no branch {branch!r} on table {self.name!r}")
+        fork_id = refs[branch]["fork_id"]
+        visible: list[Snapshot] = []
+        if fork_id is not None:
+            fork_seen = False
+            for s in self._main_snaps(snaps):
+                visible.append(s)
+                if s.snapshot_id == fork_id:
+                    fork_seen = True
+                    break
+            if not fork_seen:
+                raise ValueError(
+                    f"fork snapshot {fork_id!r} of branch {branch!r} no "
+                    "longer in manifest (rolled back or expired)")
+        visible.extend(s for s in snaps if s.meta.get("branch") == branch)
+        return visible
+
+    def create_branch(self, name: str) -> str | None:
+        """Open a staging branch forked at the current main head
+        (Iceberg ``createBranch``). Returns the fork snapshot id
+        (None on an empty table)."""
+        with self._manifest_lock():
+            refs = self.branches()
+            if name in refs:
+                raise ValueError(f"branch {name!r} already exists")
+            main = self._main_snaps(self.snapshots())
+            fork_id = main[-1].snapshot_id if main else None
+            refs[name] = {"fork_id": fork_id}
+            self._commit_refs(refs)
+        return fork_id
+
+    def write_branch(self, name: str, df: DataFrame,
+                     epoch: int | None = None,
+                     meta: dict | None = None) -> str:
+        """Stage an append on ``name`` — the WRITE of write-audit-
+        publish. The snapshot commits atomically like any append but is
+        invisible to main readers (and to ``latest_epoch``/``scan``/
+        merge-on-read resolution) until published, so a bad batch never
+        taints the serving table: audit it with ``read(branch=...)``,
+        then ``publish_branch`` or ``drop_branch``."""
+        if name not in self.branches():
+            raise ValueError(f"no branch {name!r} on table {self.name!r}")
+        return self.append(df, epoch=epoch,
+                           meta=dict(meta or {}, branch=name))
+
+    def publish_branch(self, name: str) -> list[str]:
+        """Fast-forward main to the branch head — the PUBLISH step.
+        Succeeds only if main is still the branch's fork ancestor (no
+        main commit landed after the fork); otherwise raises and leaves
+        the branch intact for re-staging, exactly Iceberg's
+        ``fast_forward`` conflict contract. On success the staged
+        snapshots join the main lineage in commit order (their epochs
+        now advance ``latest_epoch``) and the ref is dropped. Returns
+        the published snapshot ids."""
+        with self._manifest_lock():
+            refs = self.branches()
+            if name not in refs:
+                raise ValueError(f"no branch {name!r} on table {self.name!r}")
+            fork_id = refs[name]["fork_id"]
+            snaps = self.snapshots()
+            main_ids = [s.snapshot_id for s in self._main_snaps(snaps)]
+            head = main_ids[-1] if main_ids else None
+            if head != fork_id:
+                raise ValueError(
+                    f"cannot fast-forward branch {name!r}: main advanced "
+                    f"past fork {fork_id!r} (head {head!r}); re-stage "
+                    "against the new head")
+            published = []
+            out = []
+            for i, s in enumerate(snaps):
+                m = dict(s.meta)
+                if m.get("branch") == name:
+                    m.pop("branch")
+                    m["published_from"] = name
+                    published.append(s.snapshot_id)
+                out.append(Snapshot(snapshot_id=s.snapshot_id, sequence=i,
+                                    epoch=s.epoch, files=s.files, meta=m))
+            self._commit(out)
+            refs.pop(name)
+            self._commit_refs(refs)
+        return published
+
+    def drop_branch(self, name: str) -> list[str]:
+        """Abort a staged branch — the reject path of the audit gate.
+        Removes the ref and the branch's snapshots from the manifest,
+        then deletes their data dirs (after the commit, so a concurrent
+        branch reader races manifest-old-or-new, never missing files).
+        Main lineage is untouched. Returns the dropped snapshot ids."""
+        import shutil
+
+        with self._manifest_lock():
+            refs = self.branches()
+            if name not in refs:
+                raise ValueError(f"no branch {name!r} on table {self.name!r}")
+            snaps = self.snapshots()
+            doomed = [s for s in snaps if s.meta.get("branch") == name]
+            kept = [s for s in snaps if s.meta.get("branch") != name]
+            self._commit([
+                Snapshot(snapshot_id=s.snapshot_id, sequence=i,
+                         epoch=s.epoch, files=s.files, meta=s.meta)
+                for i, s in enumerate(kept)
+            ])
+            refs.pop(name)
+            self._commit_refs(refs)
+        for s in doomed:
+            for d in s.files:
+                shutil.rmtree(d, ignore_errors=True)
+        return [s.snapshot_id for s in doomed]
+
     def append(self, df: DataFrame, epoch: int | None = None,
                meta: dict | None = None, partition_by: list[str] | None = None) -> str:
         """Write df as a new snapshot; commit = atomic manifest swap.
@@ -228,7 +373,7 @@ class Table:
 
         from pyspark.sql import Window, functions as F
 
-        snaps = self.snapshots()
+        snaps = self._visible_snaps(None)
         if not snaps:
             return None
         if key is None:
@@ -336,6 +481,12 @@ class Table:
         """
         import shutil
 
+        if self.branches():
+            # Compaction folds the whole manifest into one snapshot; a
+            # staged branch's fork ancestry would be collapsed out from
+            # under its audit read. Defer until branches publish/drop
+            # (Iceberg: rewrite respects ref-reachable snapshots).
+            return None
         snaps = self.snapshots()
         if len(snaps) < min_snapshots:
             return None
@@ -494,7 +645,7 @@ class Table:
 
         eq, ranges = eq or {}, ranges or {}
         parts = []
-        for s in self.snapshots():
+        for s in self._visible_snaps(None):
             df = spark.read.parquet(*s.files)
             spec = [tuple(t) for t in s.meta.get("spec", [])]
             if spec:
@@ -511,14 +662,17 @@ class Table:
             out = out.filter(F.col(c).between(lo, hi))
         return out
 
-    def read(self, spark: SparkSession, as_of: str | None = None) -> DataFrame | None:
+    def read(self, spark: SparkSession, as_of: str | None = None,
+             branch: str | None = None) -> DataFrame | None:
         """Union of all snapshot data up to ``as_of`` (time travel).
         Derived partition columns stay hidden. Multi-snapshot reads use
         ``mergeSchema`` so a column added in a later snapshot surfaces
         with nulls for pre-evolution rows (Iceberg add-column
         semantics) — without it Spark takes one file's schema and
-        silently DROPS the new column."""
-        snaps = self.snapshots()
+        silently DROPS the new column. ``branch`` reads the staged
+        lineage instead (main-up-to-fork + branch commits) — the AUDIT
+        read of write-audit-publish."""
+        snaps = self._visible_snaps(branch)
         if as_of is not None:
             hits = [i for i, s in enumerate(snaps) if s.snapshot_id == as_of]
             if not hits:
@@ -584,10 +738,30 @@ class Table:
 
         with self._manifest_lock():
             snaps = self.snapshots()
-            keep_n = len(snaps) if keep_last is None else max(1, keep_last)
+            main = self._main_snaps(snaps)
+            # Branch protection (Iceberg: snapshots reachable from any
+            # ref never expire): staged branch snapshots are always
+            # kept, and so is the main lineage up to every live fork —
+            # a branch read unions main-up-to-fork, so expiring below a
+            # fork would break the staged lineage mid-audit.
+            protected: set[str] = set()
+            for ref in self.branches().values():
+                fork_id = ref["fork_id"]
+                if fork_id is None:
+                    continue
+                for s in main:
+                    protected.add(s.snapshot_id)
+                    if s.snapshot_id == fork_id:
+                        break
+            keep_n = len(main) if keep_last is None else max(1, keep_last)
             expired, kept = [], []
-            for i, s in enumerate(snaps):
-                from_newest = len(snaps) - i  # 1 = newest
+            n_main = len(main)
+            main_pos = {s.snapshot_id: i for i, s in enumerate(main)}
+            for s in snaps:
+                if s.meta.get("branch") or s.snapshot_id in protected:
+                    kept.append(s)
+                    continue
+                from_newest = n_main - main_pos[s.snapshot_id]  # 1 = newest
                 old_enough = (older_than_epoch is None
                               or s.epoch is None
                               or s.epoch < older_than_epoch)
@@ -644,7 +818,10 @@ class Table:
         return doomed
 
     def latest_epoch(self) -> int | None:
-        epochs = [s.epoch for s in self.snapshots() if s.epoch is not None]
+        """Highest committed epoch on the MAIN lineage — staged branch
+        epochs must not perturb crawl resume numbering until published."""
+        epochs = [s.epoch for s in self._main_snaps(self.snapshots())
+                  if s.epoch is not None]
         return max(epochs) if epochs else None
 
     def truncate(self) -> None:

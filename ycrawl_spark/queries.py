@@ -10101,6 +10101,103 @@ def snapshot_retention_audit(spark, sf_dir):
     )
 
 
+@query(
+    "wap_publish_audit",
+    """
+    WITH staged AS (
+      SELECT 't' || CAST(o_custkey % 5 AS VARCHAR) AS table_id,
+             o_orderkey,
+             CAST(50 + o_orderkey % 977 AS BIGINT) AS rows_staged,
+             CAST((o_orderkey * 7) % 23 AS BIGINT) AS err_rows,
+             CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS overlapped
+      FROM orders WHERE o_orderkey % 29 = 0
+    ), gated AS (
+      SELECT *,
+             CASE WHEN (1000 * err_rows) // rows_staged <= 15
+                  THEN 1 ELSE 0 END AS gate_ok
+      FROM staged
+    ), seqd AS (
+      SELECT *,
+             COALESCE(LAG(gate_ok) OVER (PARTITION BY table_id
+                                         ORDER BY o_orderkey), 0) AS prev_pub
+      FROM gated
+    ), decided AS (
+      SELECT *,
+             CASE WHEN overlapped = 1 AND prev_pub = 1
+                  THEN 1 ELSE 0 END AS ff_conflict
+      FROM seqd
+    )
+    SELECT table_id,
+           CAST(COUNT(*) AS BIGINT) AS n_staged,
+           CAST(SUM(gate_ok) AS BIGINT) AS n_published,
+           CAST(COUNT(*) - SUM(gate_ok) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN gate_ok = 1 THEN rows_staged ELSE 0 END)
+                AS BIGINT) AS rows_published,
+           CAST(SUM(CASE WHEN gate_ok = 0 THEN rows_staged ELSE 0 END)
+                AS BIGINT) AS rows_quarantined,
+           CAST(SUM(ff_conflict) AS BIGINT) AS n_ff_retries,
+           CAST(MAX(CASE WHEN gate_ok = 1
+                         THEN (1000 * err_rows) // rows_staged END)
+                AS BIGINT) AS worst_published_permille
+    FROM decided GROUP BY table_id
+    """,
+)
+def wap_publish_audit(spark, sf_dir):
+    """Write-audit-publish ledger for ``Table.write_branch`` /
+    ``publish_branch`` / ``drop_branch`` (catalog.py) — the accounting
+    an operator reads after a day of staged epoch commits: per table,
+    how many batches were staged on audit branches, how many passed the
+    quality gate (error-rate ≤ 15‰, integer cross-multiplied so Spark
+    and DuckDB agree bit-exactly) and fast-forwarded into main, how
+    many were quarantined with their row mass, and how many publishes
+    hit the fast-forward conflict path (staging overlapped a
+    just-published batch — ``publish_branch``'s main-advanced abort —
+    and had to re-stage).  The staging log is synthesized
+    deterministically from orders (batch order = o_orderkey per
+    table).  Plan: one pruned scan, one lag window per table, one
+    rollup — the ledger is one row per staged batch, bounded by commit
+    count not corpus size.  Reference analog: the staged-upload commit
+    barrier (reference vmCrawl.py upload path, SURVEY.md §2.1
+    sink_staged_upload) hardened into an audit-gated publish."""
+    staged = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 29 == 0
+    ).select(
+        F.concat(F.lit("t"), (F.col("o_custkey") % 5).cast("string"))
+        .alias("table_id"),
+        "o_orderkey",
+        (50 + F.col("o_orderkey") % 977).cast("long").alias("rows_staged"),
+        ((F.col("o_orderkey") * 7) % 23).cast("long").alias("err_rows"),
+        F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0)
+        .alias("overlapped"),
+    )
+    gated = staged.withColumn(
+        "gate_ok",
+        F.when(F.expr("(1000 * err_rows) div rows_staged") <= 15, 1)
+        .otherwise(0),
+    )
+    wt = W.partitionBy("table_id").orderBy("o_orderkey")
+    decided = gated.withColumn(
+        "prev_pub", F.coalesce(F.lag("gate_ok").over(wt), F.lit(0))
+    ).withColumn(
+        "ff_conflict",
+        F.when((F.col("overlapped") == 1) & (F.col("prev_pub") == 1), 1)
+        .otherwise(0),
+    )
+    return decided.groupBy("table_id").agg(
+        F.count("*").cast("long").alias("n_staged"),
+        F.sum("gate_ok").cast("long").alias("n_published"),
+        (F.count("*") - F.sum("gate_ok")).cast("long").alias("n_dropped"),
+        F.sum(F.when(F.col("gate_ok") == 1, F.col("rows_staged"))
+              .otherwise(0)).cast("long").alias("rows_published"),
+        F.sum(F.when(F.col("gate_ok") == 0, F.col("rows_staged"))
+              .otherwise(0)).cast("long").alias("rows_quarantined"),
+        F.sum("ff_conflict").cast("long").alias("n_ff_retries"),
+        F.max(F.when(F.col("gate_ok") == 1,
+                     F.expr("(1000 * err_rows) div rows_staged")))
+        .cast("long").alias("worst_published_permille"),
+    )
+
+
 _GRAD_PARAMS_SQL = """
       SELECT image_id,
              24 + (ascii(substr(hh,1,1))*256 + ascii(substr(hh,2,1))) % 41 AS w,
